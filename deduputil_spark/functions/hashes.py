@@ -1,0 +1,270 @@
+"""Hash + chunking primitives matching the reference's semantics.
+
+Reference semantics (studied, not copied):
+- adler32 weak checksum + O(1) rolling update: /root/reference/src/checksum.c:7-40
+  (CHAR_OFFSET == 0, /root/reference/src/checksum.h).  NOTE: C `char` is signed
+  on x86, so bytes are interpreted as int8; all arithmetic wraps in uint32 and
+  the rolling state truncates s1/s2 to 16 bits each step.
+- CDC content-defined chunking: /root/reference/src/dedup.c:402-546 —
+  window 48, cut when hash(window) % block_size == 13, min 512 / max 32768,
+  skip-ahead of (min - win) bytes after each cut, fresh adler after skip,
+  rolling adler while sliding.
+- FSP fixed-size chunking: /root/reference/src/dedup.c:716-764 — stride blocks
+  of exactly block_size; the trailing `N % block_size` bytes are the raw
+  "last block" (never deduped).
+- rabinhash32 (GF(2) polynomial, table-driven): /root/reference/src/rabinhash32.c
+  — note the reference calls it with poly P=1 via rabin_hash().
+
+Two implementations of the CDC cut walk live here:
+- `cdc_cuts_ref`: direct byte-at-a-time transliteration of the C control flow
+  (golden oracle for tests; computes the genuine 32-bit rolling hkey).
+- `cdc_cuts_fast`: vectorized numpy.  Key derivation: with CHAR_OFFSET == 0 the
+  rolling state satisfies s1 ≡ sum(window signed bytes) (mod 2^16) — the
+  fresh/rolling distinction telescopes away — and since block_size (4096)
+  divides 2^16, `hkey % 4096 == (s1 mod 4096)`.  The cut-candidate mask is
+  therefore a sliding-window sum, computable for ALL positions at once; only
+  the min/max/skip walk is sequential and it is O(number of cuts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_WIN = 48
+U32 = 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# adler32 (reference weak checksum; signed-char semantics)
+# ---------------------------------------------------------------------------
+
+def adler32_checksum(data: bytes) -> int:
+    """Full-window weak checksum, semantics of /root/reference/src/checksum.c:7-24."""
+    a = np.frombuffer(data, dtype=np.int8).astype(np.int64)
+    s1 = int(a.sum())
+    # s2 = sum of prefix-inclusive s1 values == sum over i of (len - i) * byte[i]
+    n = len(a)
+    s2 = int((a * np.arange(n, 0, -1)).sum())
+    return ((s1 & 0xFFFF) + ((s2 << 16) & U32)) & U32
+
+
+def adler32_rolling(csum: int, length: int, c1: int, c2: int) -> int:
+    """O(1) roll, semantics of /root/reference/src/checksum.c:30-40.
+
+    c1/c2 are SIGNED byte values (int8) of the outgoing/incoming chars.
+    """
+    s1 = csum & 0xFFFF
+    s2 = (csum >> 16) & 0xFFFF
+    s1 = (s1 - (c1 - c2)) & U32
+    s2 = (s2 - (length * c1 - s1)) & U32
+    return ((s1 & 0xFFFF) + ((s2 << 16) & U32)) & U32
+
+
+# ---------------------------------------------------------------------------
+# rabinhash32 (GF(2) polynomial hash; /root/reference/src/rabinhash32.c)
+# ---------------------------------------------------------------------------
+
+def _rabin_tables(poly: int = 1) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Build the four 256-entry shift tables (int32 semantics in uint32 arrays)."""
+    p_degree = 32
+    x_p_degree = 1 << (p_degree - 1)
+    mods = [0] * p_degree
+    mods[0] = poly & U32
+    for i in range(1, p_degree):
+        last = mods[i - 1]
+        this = (last << 1) & U32
+        if last & x_p_degree:
+            this ^= poly & U32
+        mods[i] = this
+    t32 = np.zeros(256, dtype=np.uint32)
+    t40 = np.zeros(256, dtype=np.uint32)
+    t48 = np.zeros(256, dtype=np.uint32)
+    t56 = np.zeros(256, dtype=np.uint32)
+    for i in range(256):
+        c = i
+        j = 0
+        while j < 8 and c > 0:
+            if c & 1:
+                t32[i] ^= mods[j]
+                t40[i] ^= mods[j + 8]
+                t48[i] ^= mods[j + 16]
+                t56[i] ^= mods[j + 24]
+            c >>= 1
+            j += 1
+    return t32, t40, t48, t56
+
+
+_RABIN_T = None
+
+
+def _get_rabin_tables():
+    global _RABIN_T
+    if _RABIN_T is None:
+        _RABIN_T = _rabin_tables(1)
+    return _RABIN_T
+
+
+def rabin_hash32(data: bytes) -> int:
+    """rabinhash32 with poly=1 over `data` (reference rabin_hash semantics,
+    /root/reference/src/rabinhash32.c:85-94, minus the strlen truncation —
+    callers must pre-truncate at NUL to match C exactly)."""
+    t32, t40, t48, t56 = _get_rabin_tables()
+    a = np.frombuffer(data, dtype=np.uint8)
+    w = np.uint64(0)
+    s = 0
+    starter = len(a) % 4
+    w = 0
+    for i in range(starter):
+        w = ((w << 8) ^ int(a[i])) & U32
+    s = starter
+    while s < len(a):
+        shifted = int(t32[w & 0xFF]) ^ int(t40[(w >> 8) & 0xFF]) ^ int(t48[(w >> 16) & 0xFF]) ^ int(t56[(w >> 24) & 0xFF])
+        # C does (A[s] << 24) on a SIGNED char -> sign-extends; in uint32 terms
+        # that is ((int8)A[s] << 24) & U32, identical to (A[s] & 0xFF) << 24.
+        w = (shifted ^ (int(a[s]) << 24) ^ (int(a[s + 1]) << 16) ^ (int(a[s + 2]) << 8) ^ int(a[s + 3])) & U32
+        s += 4
+    return w & U32
+
+
+def rabin_window_hashes(data: bytes, win: int = BLOCK_WIN) -> np.ndarray:
+    """rabinhash32(poly=1) of every length-`win` window, vectorized across
+    positions (win/4 table-gather rounds over all windows at once)."""
+    t32, t40, t48, t56 = _get_rabin_tables()
+    a = np.frombuffer(data, dtype=np.uint8).astype(np.uint32)
+    n = len(a) - win + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    assert win % 4 == 0, "window must be multiple of 4 for the vectorized path"
+    w = np.zeros(n, dtype=np.uint32)
+    idx = np.arange(n)
+    for k in range(0, win, 4):
+        shifted = (
+            t32[w & 0xFF]
+            ^ t40[(w >> np.uint32(8)) & 0xFF]
+            ^ t48[(w >> np.uint32(16)) & 0xFF]
+            ^ t56[(w >> np.uint32(24)) & 0xFF]
+        )
+        w = (
+            shifted
+            ^ (a[idx + k] << np.uint32(24))
+            ^ (a[idx + k + 1] << np.uint32(16))
+            ^ (a[idx + k + 2] << np.uint32(8))
+            ^ a[idx + k + 3]
+        )
+    return w.astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# CDC cut walks
+# ---------------------------------------------------------------------------
+
+def cdc_cuts_ref(
+    data: bytes,
+    block_size: int = 4096,
+    min_size: int = 512,
+    max_size: int = 32768,
+    win: int = BLOCK_WIN,
+    cdc_r: int = 13,
+    cut_hash: str = "adler",
+) -> list[int]:
+    """Byte-at-a-time transliteration of /root/reference/src/dedup.c:402-546
+    (stream view: the 128 KB buffer refills preserve these exact semantics).
+
+    Returns emitted-block END offsets; bytes after the last cut are the raw
+    tail ("last block", /root/reference/src/dedup.c:536-542).
+    """
+    n = len(data)
+    signed = np.frombuffer(data, dtype=np.int8)
+    cuts: list[int] = []
+    p = 0  # block start
+    hkey = 0
+    while True:
+        h = p + (min_size - win)  # skip-ahead: bytes [p, h) enter block unhashed
+        if h + win > n:
+            break
+        fresh = True
+        while h + win <= n:
+            if cut_hash == "adler":
+                if fresh:
+                    hkey = adler32_checksum(data[h : h + win])
+                    fresh = False
+                else:
+                    hkey = adler32_rolling(hkey, win, int(signed[h - 1]), int(signed[h + win - 1]))
+            else:  # rabin (g_rolling_hash == 0 path: full rehash each window)
+                stop = data.find(b"\x00", h, h + win)  # C strlen truncation
+                end = h + win if stop == -1 else stop
+                hkey = rabin_hash32(data[h:end])
+            if hkey % block_size == cdc_r:
+                cuts.append(h + win)
+                p = h + win
+                break
+            h += 1
+            if h - p == max_size:
+                cuts.append(p + max_size)
+                p = p + max_size
+                break
+        else:
+            break  # ran out of windows mid-block -> tail
+    return cuts
+
+
+def cdc_cuts_fast(
+    data: bytes,
+    block_size: int = 4096,
+    min_size: int = 512,
+    max_size: int = 32768,
+    win: int = BLOCK_WIN,
+    cdc_r: int = 13,
+    cut_hash: str = "adler",
+) -> list[int]:
+    """Vectorized CDC walk — identical cuts to `cdc_cuts_ref` (golden-tested).
+
+    adler path: cut condition reduces to sliding signed-byte window sum
+    ≡ cdc_r (mod block_size) because block_size | 2^16 (see module docstring).
+    rabin path: full window hashes vectorized across positions.
+    """
+    n = len(data)
+    if n - win + 1 <= 0:
+        return []
+    if cut_hash == "adler":
+        s = np.frombuffer(data, dtype=np.int8).astype(np.int64)
+        c = np.concatenate(([0], np.cumsum(s)))
+        wsum = c[win:] - c[:-win]  # wsum[h] = sum(data[h:h+win])
+        match = (np.mod(wsum, block_size) == cdc_r)
+    else:
+        hk = rabin_window_hashes(data, win)
+        # NUL-containing windows hash differently (strlen); handle lazily below
+        match = (hk % np.uint64(block_size)) == np.uint64(cdc_r)
+        if b"\x00" in data:
+            zero_pos = np.frombuffer(data, dtype=np.uint8) == 0
+            zc = np.concatenate(([0], np.cumsum(zero_pos)))
+            has_nul = (zc[win:] - zc[:-win]) > 0
+            bad = np.flatnonzero(has_nul)
+            for h in bad:
+                stop = data.find(b"\x00", h, h + win)
+                match[h] = rabin_hash32(data[h:stop]) % block_size == cdc_r
+    match_pos = np.flatnonzero(match)  # window head positions that would cut
+    cuts: list[int] = []
+    p = 0
+    last_head = n - win  # last evaluable window head
+    while True:
+        h0 = p + (min_size - win)
+        if h0 + win > n:
+            break
+        hi_cap = p + max_size - 1  # last head before forced max cut
+        j = np.searchsorted(match_pos, h0)
+        if j < len(match_pos) and match_pos[j] <= min(hi_cap, last_head):
+            cut = int(match_pos[j]) + win
+        elif hi_cap <= last_head:
+            cut = p + max_size  # every head evaluated, none matched
+        else:
+            break  # windows ran out mid-block -> tail
+        cuts.append(cut)
+        p = cut
+    return cuts
+
+
+def fsp_cuts(n: int, block_size: int = 4096) -> list[int]:
+    """Fixed-size partition ends; tail = n % block_size raw bytes
+    (/root/reference/src/dedup.c:716-764)."""
+    return [e for e in range(block_size, n + 1, block_size)]

@@ -1,0 +1,78 @@
+"""Golden chunker tests — SURVEY.md §5.3.
+
+The vectorized cut walk must agree cut-for-cut with the byte-at-a-time
+transliteration of /root/reference/src/dedup.c:402-546 (which itself was
+validated against the compiled reference binary: identical unique/total block
+counts on an 8-file corpus, see PROGRESS notes).
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from deduputil_spark.functions.hashes import (
+    adler32_checksum,
+    adler32_rolling,
+    cdc_cuts_fast,
+    cdc_cuts_ref,
+    fsp_cuts,
+    rabin_hash32,
+    rabin_window_hashes,
+)
+
+rng = random.Random(1234)
+
+
+@pytest.mark.parametrize("n", [0, 1, 47, 48, 100, 511, 512, 513, 5000, 40000, 131072, 140001])
+def test_cdc_fast_matches_reference_walk(n):
+    data = bytes(rng.randrange(256) for _ in range(n))
+    assert cdc_cuts_fast(data) == cdc_cuts_ref(data)
+
+
+def test_cdc_rabin_path_matches():
+    data = bytes(rng.randrange(256) for _ in range(30000))
+    assert cdc_cuts_fast(data, cut_hash="rabin") == cdc_cuts_ref(data, cut_hash="rabin")
+
+
+def test_cdc_block_size_bounds():
+    data = bytes(rng.randrange(256) for _ in range(300000))
+    cuts = cdc_cuts_fast(data)
+    sizes = np.diff([0] + cuts)
+    assert sizes.min() >= 512
+    assert sizes.max() <= 32768 + 48 - 1  # max forced cut, or match at head p+max-1
+
+
+def test_adler_rolling_consistency():
+    """Rolling state mod 4096 equals the plain window byte-sum (the identity
+    the vectorized cut mask relies on)."""
+    data = bytes(rng.randrange(256) for _ in range(5000))
+    s = np.frombuffer(data, dtype=np.int8).astype(np.int64)
+    h = adler32_checksum(data[:48])
+    for k in range(1, 2000):
+        h = adler32_rolling(h, 48, int(s[k - 1]), int(s[k + 47]))
+        assert h % 4096 == int(s[k : k + 48].sum()) % 4096
+
+
+def test_adler_collision_pair():
+    """'baab' vs 'abba' repeated blocks: identical adler32, different bytes."""
+    a = (b"baab" * 12)
+    b = (b"abba" * 12)
+    assert a != b
+    assert adler32_checksum(a) == adler32_checksum(b)
+
+
+def test_rabin_windows_vectorized():
+    data = bytes(rng.randrange(256) for _ in range(500))
+    hw = rabin_window_hashes(data, 48)
+    for i in range(0, len(data) - 48 + 1, 13):
+        assert int(hw[i]) == rabin_hash32(data[i : i + 48])
+
+
+def test_fsp_cuts():
+    assert fsp_cuts(0) == []
+    assert fsp_cuts(4095) == []
+    assert fsp_cuts(4096) == [4096]
+    assert fsp_cuts(10000) == [4096, 8192]

@@ -1,0 +1,137 @@
+"""Dedup → reconstruct round-trip (the reference's create→extract oracle,
+/root/reference/src/dedup.c:1082-1202 vs 1817-1895) plus byte-verify
+collision separation and stats sanity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduputil_spark.config import DedupConfig
+from deduputil_spark.operators.assemble import assemble_documents, validate_assembly
+from deduputil_spark.operators.chunk import chunk_documents, chunk_fsp_sql
+from deduputil_spark.operators.dedup import (
+    append_documents,
+    build_block_store,
+    build_file_meta,
+    dedup_stats,
+    refcounts,
+    remove_documents,
+)
+from deduputil_spark.operators.reconstruct import reconstruct_documents, roundtrip_mismatches
+
+
+@pytest.fixture(scope="module", params=["cdc", "fsp"])
+def pipeline(request, spark, transcripts):
+    cfg = DedupConfig(chunk_algo=request.param)
+    validate_assembly(transcripts)
+    docs = assemble_documents(transcripts).cache()
+    chunks = chunk_documents(docs, cfg).cache()
+    blocks = build_block_store(chunks).cache()
+    meta = build_file_meta(chunks, blocks).cache()
+    return dict(cfg=cfg, docs=docs, chunks=chunks, blocks=blocks, meta=meta)
+
+
+def test_roundtrip_per_turn_equality(spark, transcripts, pipeline):
+    recon = reconstruct_documents(pipeline["meta"], pipeline["blocks"])
+    bad = roundtrip_mismatches(transcripts, recon)
+    assert bad.count() == 0
+
+
+def test_block_store_is_exact(pipeline):
+    """bid is unique; (md5, chunk_bytes) is unique — byte-verify semantics."""
+    blocks = pipeline["blocks"]
+    n = blocks.count()
+    assert blocks.select("bid").distinct().count() == n
+    assert blocks.select("md5", "chunk_bytes").distinct().count() == n
+    # dense 0..n-1
+    mm = blocks.agg(F.min("bid"), F.max("bid")).collect()[0]
+    assert mm[0] == 0 and mm[1] == n - 1
+
+
+def test_exact_duplicate_convs_share_all_bids(spark, corpus, pipeline):
+    truth = corpus.truth_pairs
+    exact = truth[truth["kind"] == "exact"]
+    meta = {r["conv_id"]: r["bids"] for r in pipeline["meta"].collect()}
+    for _, row in exact.iterrows():
+        assert meta[row["conv_a"]] == meta[row["conv_b"]], (row["conv_a"], row["conv_b"])
+
+
+def test_refcount_consistency(pipeline):
+    """Σ refcount over membership == total non-tail chunk rows."""
+    rc = refcounts(pipeline["meta"]).agg(F.sum("refcount")).collect()[0][0]
+    total = pipeline["chunks"].filter(~F.col("is_tail")).count()
+    assert rc == total
+
+
+def test_dedup_stats(pipeline):
+    st = dedup_stats(pipeline["blocks"], pipeline["meta"])
+    assert st.total_blocks >= st.unique_blocks
+    assert st.dup_blocks == st.total_blocks - st.unique_blocks
+    assert st.dedup_rate >= 1.0  # planted exact dups guarantee > 1 for cdc
+
+
+def test_deterministic_bids(spark, pipeline):
+    """Re-running bid assignment yields identical (bid, md5) pairs."""
+    blocks2 = build_block_store(pipeline["chunks"])
+    a = {(r["bid"], r["md5"]) for r in pipeline["blocks"].select("bid", "md5").collect()}
+    b = {(r["bid"], r["md5"]) for r in blocks2.select("bid", "md5").collect()}
+    assert a == b
+
+
+def test_remove_documents(spark, pipeline):
+    meta, blocks = pipeline["meta"], pipeline["blocks"]
+    victims = meta.select("conv_id").limit(5)
+    nb, nm = remove_documents(blocks, meta, victims)
+    n = nb.count()
+    mm = nb.agg(F.min("bid"), F.max("bid")).collect()[0]
+    assert mm[0] == 0 and mm[1] == n - 1  # renumbered densely
+    assert nm.count() == meta.count() - 5
+    # surviving docs still reconstruct
+    recon = reconstruct_documents(nm, nb)
+    docs = pipeline["docs"].join(victims, "conv_id", "left_anti")
+    diff = (
+        docs.select("conv_id", F.col("doc_text").alias("src"))
+        .join(recon, "conv_id", "full_outer")
+        .filter((F.col("src") != F.col("doc_text")) | F.col("src").isNull() | F.col("doc_text").isNull())
+    )
+    assert diff.count() == 0
+
+
+def test_append_documents(spark, transcripts, pipeline):
+    """Append a batch; old bids unchanged, new blocks continue numbering,
+    appended docs reconstruct (reference A5, /root/reference/src/dedup.c:908-1077)."""
+    cfg = pipeline["cfg"]
+    new_t = transcripts.limit(0).sparkSession.createDataFrame(
+        [("znew01", 0, "user", "completely new content " + "x" * 900, None, None),
+         ("znew01", 1, "assistant", "more new content never seen before", None, None)],
+        schema=transcripts.schema,
+    )
+    docs2 = assemble_documents(new_t)
+    chunks2 = chunk_documents(docs2, cfg)
+    nb, nm = append_documents(pipeline["blocks"], pipeline["meta"], chunks2)
+    old_max = pipeline["blocks"].agg(F.max("bid")).collect()[0][0]
+    assert nb.count() >= pipeline["blocks"].count()
+    assert nb.select("bid").distinct().count() == nb.count()
+    recon = reconstruct_documents(nm.filter(F.col("conv_id") == "znew01"), nb)
+    got = recon.collect()[0]["doc_text"]
+    want = docs2.collect()[0]["doc_text"]
+    assert got == want
+    assert old_max == pipeline["blocks"].agg(F.max("bid")).collect()[0][0]
+
+
+def test_fsp_sql_matches_pandas_fsp_on_ascii(spark, pipeline):
+    """Char-stride SQL FSP == byte FSP on ASCII corpora (chunk counts + hashes)."""
+    if pipeline["cfg"].chunk_algo != "fsp":
+        pytest.skip("fsp only")
+    docs = pipeline["docs"]
+    sql_chunks = chunk_fsp_sql(docs)
+    a = (
+        pipeline["chunks"].filter(~F.col("is_tail"))
+        .select("conv_id", "chunk_idx", F.md5(F.col("chunk_bytes")).alias("h"))
+    )
+    b = (
+        sql_chunks.filter(~F.col("is_tail"))
+        .select("conv_id", "chunk_idx", F.md5(F.col("chunk_text").cast("binary")).alias("h"))
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
