@@ -1,0 +1,163 @@
+"""The flagship plan: transcripts → near-duplicate clusters, resumable.
+
+Stage graph (each stage = one checkpoint table + one metrics row):
+
+  assemble → chunk → blocks/meta (exact dedup)
+                  ↘ shingle → minhash → bands → candidates → verify → clusters
+
+Checkpointing (north rule: "every stage checkpoints per-partition lineage and
+metrics … so the pipeline resumes mid-run"): a stage whose checkpoint exists
+with the SAME config hash is read back, not recomputed — kill the driver after
+stage k, rerun, and stages 1..k are loaded while k+1.. continue.  Metrics rows
+record stage, rows_out, wall_ms, config_hash, partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deduputil_spark.config import DedupConfig
+from deduputil_spark.io import read_table, table_exists, write_table
+from deduputil_spark.operators.assemble import assemble_documents
+from deduputil_spark.operators.chunk import chunk_documents
+from deduputil_spark.operators.cluster import connected_components
+from deduputil_spark.operators.dedup import build_block_store, build_file_meta
+from deduputil_spark.operators.lsh import candidate_pairs
+from deduputil_spark.operators.minhash import lsh_bands, minhash_signatures
+from deduputil_spark.operators.shingle import shingles
+from deduputil_spark.operators.verify import jaccard_verify
+
+
+@dataclass
+class StageMetric:
+    stage: str
+    rows_out: int
+    wall_ms: int
+    partitions: int
+    config_hash: str
+    resumed: bool
+
+
+@dataclass
+class PipelineResult:
+    clusters: DataFrame
+    verified_pairs: DataFrame
+    blocks: DataFrame
+    file_meta: DataFrame
+    metrics: list[StageMetric] = field(default_factory=list)
+
+
+class Runner:
+    """Checkpoint-aware stage runner."""
+
+    def __init__(self, spark: SparkSession, cfg: DedupConfig, checkpoint_dir: str | None):
+        self.spark = spark
+        self.cfg = cfg
+        self.dir = checkpoint_dir
+        self.metrics: list[StageMetric] = []
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def _loc(self, stage: str) -> str:
+        return os.path.join(self.dir, f"{stage}_{self.cfg.config_hash()}")
+
+    def run(self, stage: str, build, count_rows: bool = True) -> DataFrame:
+        t0 = time.monotonic()
+        resumed = False
+        if self.dir and table_exists(self.spark, self._loc(stage)):
+            df = read_table(self.spark, self._loc(stage))
+            resumed = True
+        else:
+            df = build()
+            if self.dir:
+                write_table(df, self._loc(stage))
+                df = read_table(self.spark, self._loc(stage))
+        rows = df.count() if count_rows else -1
+        self.metrics.append(
+            StageMetric(
+                stage=stage,
+                rows_out=rows,
+                wall_ms=int((time.monotonic() - t0) * 1000),
+                partitions=df.rdd.getNumPartitions() if count_rows else -1,
+                config_hash=self.cfg.config_hash(),
+                resumed=resumed,
+            )
+        )
+        return df
+
+    def dump_metrics(self) -> None:
+        if not self.dir:
+            return
+        path = os.path.join(self.dir, "metrics.jsonl")
+        with open(path, "a") as f:
+            for m in self.metrics:
+                f.write(json.dumps(m.__dict__) + "\n")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: DedupConfig | None = None,
+    checkpoint_dir: str | None = None,
+    minhash_family: str = "xxhash",
+    with_exact_dedup: bool = True,
+) -> PipelineResult:
+    cfg = cfg or DedupConfig()
+    r = Runner(spark, cfg, checkpoint_dir)
+
+    docs = r.run("assemble", lambda: assemble_documents(transcripts))
+    docs.cache()
+
+    if with_exact_dedup:
+        chunks = r.run("chunks", lambda: chunk_documents(docs, cfg))
+        blocks = r.run("blocks", lambda: build_block_store(chunks))
+        meta = r.run("file_meta", lambda: build_file_meta(chunks, blocks))
+    else:
+        chunks = blocks = meta = None
+
+    sh = r.run("shingles", lambda: shingles(docs, cfg.shingle_k))
+    sigs = r.run("minhash", lambda: minhash_signatures(sh, cfg, family=minhash_family))
+    bands = r.run("bands", lambda: lsh_bands(sigs, cfg))
+    cands = r.run("candidates", lambda: candidate_pairs(bands, cfg))
+    verified = r.run(
+        "verified", lambda: jaccard_verify(cands, sh, threshold=cfg.jaccard_threshold)
+    )
+    clusters = r.run(
+        "clusters",
+        lambda: connected_components(
+            verified.select("conv_a", "conv_b"),
+            cfg.max_cc_iterations,
+            all_vertices=docs.select("conv_id"),
+        ),
+    )
+    r.dump_metrics()
+    return PipelineResult(
+        clusters=clusters,
+        verified_pairs=verified,
+        blocks=blocks,
+        file_meta=meta,
+        metrics=r.metrics,
+    )
+
+
+def pair_recall(verified_or_clusters: DataFrame, truth_pairs: DataFrame, via_clusters: bool = True) -> float:
+    """Planted-pair recall (BASELINE.json metric).  `truth_pairs` rows with
+    kind != collision_nonpair must co-cluster (or appear among verified pairs)."""
+    truth = truth_pairs.filter(F.col("kind") != "collision_nonpair")
+    n_truth = truth.count()
+    if n_truth == 0:
+        return 1.0
+    if via_clusters:
+        lab = verified_or_clusters  # (conv_id, cluster_id)
+        la = lab.select(F.col("conv_id").alias("conv_a"), F.col("cluster_id").alias("ca"))
+        lb = lab.select(F.col("conv_id").alias("conv_b"), F.col("cluster_id").alias("cb"))
+        hit = truth.join(la, "conv_a").join(lb, "conv_b").filter(F.col("ca") == F.col("cb")).count()
+    else:
+        hit = truth.join(verified_or_clusters, ["conv_a", "conv_b"], "left_semi").count()
+    return hit / n_truth

@@ -134,11 +134,14 @@ def synthesize(
     # --- adler32 weak-collision pair (must NOT cluster) ---
     # 'baab' vs 'abba' blocks: byte sums AND positional weighted sums equal ->
     # identical adler32, different bytes (byte-verify separation test).
-    filler = " ".join(vocab[rng.integers(0, len(vocab), 200)].tolist())
+    # distinct fillers: the pair must collide at the CHUNK weak-hash level
+    # (equal adler32, different bytes) without being textual near-duplicates
+    filler_a = " ".join(vocab[rng.integers(0, len(vocab), 200)].tolist())
+    filler_b = " ".join(vocab[rng.integers(0, len(vocab), 200)].tolist())
     ca, cb = f"c{next_id:06d}", f"c{next_id + 1:06d}"
     next_id += 2
-    add_conv(ca, [("user", "baab " * 200 + filler, None)])
-    add_conv(cb, [("user", "abba " * 200 + filler, None)])
+    add_conv(ca, [("user", "baab " * 200 + filler_a, None)])
+    add_conv(cb, [("user", "abba " * 200 + filler_b, None)])
     truth.append((ca, cb, "collision_nonpair", 0.0))
 
     # --- assemble frame ---

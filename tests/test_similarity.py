@@ -1,0 +1,179 @@
+"""Similarity backbone tests: MinHash accuracy, LSH recall vs brute force,
+clustering vs union-find oracle, planted-pair recall, collision separation,
+checkpoint resume (SURVEY.md §5.4-5.6)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduputil_spark.config import DedupConfig
+from deduputil_spark.operators.assemble import assemble_documents
+from deduputil_spark.operators.cluster import connected_components
+from deduputil_spark.operators.lsh import bucket_skew_report, candidate_pairs
+from deduputil_spark.operators.minhash import lsh_bands, minhash_jaccard_estimate, minhash_signatures
+from deduputil_spark.operators.shingle import shingles
+from deduputil_spark.operators.simhash import simhash_candidates, simhash_signatures
+from deduputil_spark.operators.substring import containment_candidates, verify_substring
+from deduputil_spark.operators.verify import jaccard_verify
+from deduputil_spark.plans.pipeline import pair_recall, run_pipeline
+
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, transcripts):
+    return assemble_documents(transcripts).cache()
+
+
+@pytest.fixture(scope="module")
+def shingle_df(docs):
+    return shingles(docs, CFG.shingle_k).cache()
+
+
+@pytest.fixture(scope="module", params=["xxhash", "md5"])
+def family(request):
+    return request.param
+
+
+def brute_force_jaccard(shingle_df, threshold):
+    """All-pairs exact Jaccard (oracle; only viable on the tiny corpus)."""
+    a = shingle_df.select(F.col("conv_id").alias("conv_a"), "shingle")
+    b = shingle_df.select(F.col("conv_id").alias("conv_b"), "shingle")
+    sizes = shingle_df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("conv_a") < F.col("conv_b"))
+        .groupBy("conv_a", "conv_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("conv_id").alias("conv_a"), F.col("n").alias("na")), "conv_a")
+        .join(sizes.select(F.col("conv_id").alias("conv_b"), F.col("n").alias("nb")), "conv_b")
+        .select("conv_a", "conv_b", (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def test_minhash_estimates_jaccard(spark, shingle_df, family):
+    """Signature agreement ≈ true Jaccard within ε on true-positive pairs."""
+    truth = brute_force_jaccard(shingle_df, 0.5).cache()
+    sigs = minhash_signatures(shingle_df, CFG, family=family)
+    est = minhash_jaccard_estimate(sigs, truth.select("conv_a", "conv_b"))
+    joined = truth.join(est, ["conv_a", "conv_b"]).collect()
+    assert len(joined) > 0
+    for r in joined:
+        assert abs(r["jaccard"] - r["est_jaccard"]) < 0.15, r
+
+
+def test_lsh_recall_vs_brute_force(spark, shingle_df, family):
+    """LSH candidates must cover ≥99% of true pairs above threshold."""
+    truth = {(r["conv_a"], r["conv_b"]) for r in brute_force_jaccard(shingle_df, CFG.jaccard_threshold).collect()}
+    assert truth, "corpus must contain planted high-jaccard pairs"
+    sigs = minhash_signatures(shingle_df, CFG, family=family)
+    cands = {(r["conv_a"], r["conv_b"]) for r in candidate_pairs(lsh_bands(sigs, CFG), CFG).collect()}
+    missed = truth - cands
+    recall = 1 - len(missed) / len(truth)
+    assert recall >= 0.99, f"LSH recall {recall}: missed {sorted(missed)[:5]}"
+
+
+def test_pipeline_recall_and_collision_separation(spark, transcripts, corpus, shingle_df):
+    res = run_pipeline(spark, transcripts, CFG, checkpoint_dir=None)
+    clusters = res.clusters.cache()
+    truth = spark.createDataFrame(corpus.truth_pairs)
+    # the gate (FIXTURES.md): recall over planted pairs whose TRUE Jaccard
+    # clears the verify threshold (5%-edit pairs sit at J≈0.63 < 0.7 by design)
+    planted = truth.filter(F.col("kind") != "collision_nonpair").select("conv_a", "conv_b")
+    strong = jaccard_verify(planted, shingle_df, threshold=CFG.jaccard_threshold).select(
+        "conv_a", "conv_b"
+    ).withColumn("kind", F.lit("planted"))
+    assert strong.count() > 0
+    rec = pair_recall(clusters, strong)
+    assert rec >= 0.99, f"planted-pair recall {rec}"
+    # adler-collision pair must NOT merge (byte-verify semantics)
+    coll = truth.filter(F.col("kind") == "collision_nonpair")
+    la = clusters.select(F.col("conv_id").alias("conv_a"), F.col("cluster_id").alias("ca"))
+    lb = clusters.select(F.col("conv_id").alias("conv_b"), F.col("cluster_id").alias("cb"))
+    merged = coll.join(la, "conv_a").join(lb, "conv_b").filter(F.col("ca") == F.col("cb")).count()
+    assert merged == 0
+
+
+def test_connected_components_vs_union_find(spark):
+    import random
+
+    rng = random.Random(99)
+    n = 200
+    edges = [(f"v{rng.randrange(n):03d}", f"v{rng.randrange(n):03d}") for _ in range(150)]
+    edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "conv_a string, conv_b string")
+    got = {
+        r["conv_id"]: r["cluster_id"]
+        for r in connected_components(pairs, max_iterations=50).collect()
+    }
+    # union-find oracle
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[str, list[str]] = {}
+    for v in parent:
+        comp.setdefault(find(v), []).append(v)
+    for root, members in comp.items():
+        want = min(members)
+        for m in members:
+            assert got[m] == want, (m, got[m], want)
+
+
+def test_checkpoint_resume(spark, transcripts):
+    with tempfile.TemporaryDirectory() as d:
+        r1 = run_pipeline(spark, transcripts, CFG, checkpoint_dir=d)
+        c1 = sorted((r["conv_id"], r["cluster_id"]) for r in r1.clusters.collect())
+        assert not any(m.resumed for m in r1.metrics)
+        r2 = run_pipeline(spark, transcripts, CFG, checkpoint_dir=d)
+        c2 = sorted((r["conv_id"], r["cluster_id"]) for r in r2.clusters.collect())
+        assert all(m.resumed for m in r2.metrics), [m for m in r2.metrics if not m.resumed]
+        assert c1 == c2
+        # different config hash must NOT resume
+        cfg3 = DedupConfig(shingle_k=7)
+        r3 = run_pipeline(spark, transcripts, cfg3, checkpoint_dir=d)
+        assert not any(m.resumed for m in r3.metrics)
+
+
+def test_skew_report_sees_hot_boilerplate(spark, shingle_df):
+    sigs = minhash_signatures(shingle_df, CFG, family="xxhash")
+    rep = bucket_skew_report(lsh_bands(sigs, CFG), CFG).collect()[0]
+    assert rep["n_buckets"] > 0
+    assert rep["max_bucket"] >= 1
+
+
+def test_simhash_finds_exact_dups(spark, docs, corpus):
+    sigs = simhash_signatures(docs).cache()
+    cands = simhash_candidates(sigs, bands=4, max_hamming=3)
+    got = {(r["conv_a"], r["conv_b"]) for r in cands.collect()}
+    truth = corpus.truth_pairs
+    exact = truth[truth["kind"] == "exact"]
+    for _, row in exact.iterrows():
+        assert (row["conv_a"], row["conv_b"]) in got, row.tolist()
+
+
+def test_substring_pass(spark, docs, corpus):
+    cands = containment_candidates(docs, w=8, threshold=0.9)
+    ver = verify_substring(cands, docs).filter(F.col("is_substring"))
+    got = {(r["conv_a"], r["conv_b"]) for r in ver.collect()}
+    got |= {(b, a) for a, b in got}
+    truth = corpus.truth_pairs
+    sub = truth[truth["kind"] == "substring"]
+    assert len(sub) > 0
+    hit = sum((r["conv_a"], r["conv_b"]) in got for _, r in sub.iterrows())
+    assert hit / len(sub) >= 0.99, f"substring recall {hit}/{len(sub)}"
