@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` maps operator names (SURVEY.md §2 inventory + training-data
+extras) to (spark, sf_dir) callables; `oracle_sql()` gives the DuckDB-
+equivalent SQL over the pre-registered views (region nation customer supplier
+part orders lineitem events documents embeddings).
+
+Design for oracle exactness:
+- MinHash uses the md5 family (bit-identical in Spark and DuckDB).
+- Ratio-valued outputs emit integer numerators/denominators where possible
+  (no float-rounding hash risk); cosine uses round(…, 6) double arithmetic.
+- Everything is aliased identically on both sides.
+
+Non-SQL-expressible stages (CDC pandas-UDF chunker, full transcript pipeline,
+round-trip reconstruction) are included WITHOUT oracle entries (rows-only
+checks) and covered by the repo's own pytest oracles instead.
 """
 
 from __future__ import annotations
@@ -12,27 +21,670 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from deduputil_spark.config import DedupConfig
+
+# --- shared small configs (kept tiny so DuckDB oracles run fast at sf0.01) ---
+FSP_BS = 128          # documents are 48-553 chars; 4096 would be all-tail
+SHINGLE_K = 5
+NUM_PERM = 16
+BANDS, ROWS = 4, 4
+NGRAM_N = 3
+ANN_K = 5
+QUERY_MOD = 25        # ann query subset: vec_id % 25 == 0
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# S1 — document assembly (window-ordered concat) over events-as-transcripts
+# ---------------------------------------------------------------------------
+
+def q_assemble_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    turn = F.struct(F.col("ts"), F.col("event_id"), F.concat_ws(":", "event_type", "props").alias("txt"))
+    return (
+        ev.groupBy(F.col("user_id").alias("conv_id"))
+        .agg(
+            F.md5(
+                F.concat_ws("\n", F.transform(F.array_sort(F.collect_list(turn)), lambda s: s["txt"])).cast("binary")
+            ).alias("doc_md5"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+    )
+
+
+SQL_ASSEMBLE = """
+SELECT user_id AS conv_id,
+       md5(string_agg(event_type || ':' || props, chr(10) ORDER BY ts, event_id)) AS doc_md5,
+       count(*) AS n_turns
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# C1 — FSP chunking (pure-SQL char-stride; byte path is pytest-covered)
+# ---------------------------------------------------------------------------
+
+def q_fsp_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deduputil_spark.operators.chunk import chunk_fsp_sql
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("conv_id"), F.col("text").alias("doc_text"))
+    ch = chunk_fsp_sql(docs, FSP_BS)
+    return ch.filter(~F.col("is_tail")).select(
+        F.col("conv_id").alias("doc_id"),
+        "chunk_idx",
+        F.col("md5").alias("chunk_md5"),
+        "chunk_len",
+    )
+
+
+SQL_FSP_CHUNKS = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       md5(substr(text, i*{FSP_BS}+1, {FSP_BS})) AS chunk_md5,
+       CAST({FSP_BS} AS INT) AS chunk_len
+FROM documents, LATERAL (SELECT unnest(range(0, CAST(floor(length(text)/{FSP_BS}) AS BIGINT)))) t(i)
+"""
+
+
+def q_fsp_tails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deduputil_spark.operators.chunk import chunk_fsp_sql
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("conv_id"), F.col("text").alias("doc_text"))
+    ch = chunk_fsp_sql(docs, FSP_BS)
+    return ch.filter(F.col("is_tail")).select(
+        F.col("conv_id").alias("doc_id"),
+        F.col("md5").alias("tail_md5"),
+        F.col("chunk_len").alias("tail_len"),
+    )
+
+
+SQL_FSP_TAILS = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       md5(substr(text, CAST(floor(length(text)/{FSP_BS}) AS BIGINT)*{FSP_BS}+1)) AS tail_md5,
+       CAST(length(text) - floor(length(text)/{FSP_BS})*{FSP_BS} AS INT) AS tail_len
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1/A3/A4 — exact dedup, block store stats, refcounts
+# ---------------------------------------------------------------------------
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc"))
+    )
+
+
+SQL_EXACT_DUPS = """
+SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keeper_doc
+FROM documents GROUP BY 1
+"""
+
+
+def q_block_refcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = q_fsp_chunks(spark, sf_dir)
+    return ch.groupBy(F.col("chunk_md5").alias("block_md5")).agg(F.count(F.lit(1)).alias("refcount"))
+
+
+SQL_BLOCK_REFCOUNTS = f"""
+WITH ch AS ({SQL_FSP_CHUNKS})
+SELECT chunk_md5 AS block_md5, count(*) AS refcount FROM ch GROUP BY 1
+"""
+
+
+def q_dedup_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 dedup-rate aggregates grouped by documents.source (integer-exact)."""
+    docs = _docs(spark, sf_dir)
+    from deduputil_spark.operators.chunk import chunk_fsp_sql
+
+    d2 = docs.select(F.col("doc_id").cast("string").alias("conv_id"), F.col("text").alias("doc_text"), "source")
+    ch = chunk_fsp_sql(d2.select("conv_id", "doc_text"), FSP_BS).filter(~F.col("is_tail"))
+    joined = ch.join(d2.select("conv_id", "source"), "conv_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_blocks"),
+        F.countDistinct("md5").alias("unique_blocks"),
+        F.sum("chunk_len").alias("total_bytes"),
+    )
+
+
+SQL_DEDUP_BY_SOURCE = f"""
+WITH ch AS ({SQL_FSP_CHUNKS})
+SELECT d.source AS source,
+       count(*) AS total_blocks,
+       count(DISTINCT ch.chunk_md5) AS unique_blocks,
+       sum(ch.chunk_len) AS total_bytes
+FROM ch JOIN documents d ON ch.doc_id = CAST(d.doc_id AS VARCHAR)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shingling / MinHash / LSH / verify / cluster (md5 family — exact oracles)
+# ---------------------------------------------------------------------------
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deduputil_spark.operators.shingle import shingles
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("conv_id"), F.col("text").alias("doc_text"))
+    return shingles(docs, SHINGLE_K)
+
+
+SQL_SHINGLES = f"""
+SELECT DISTINCT CAST(doc_id AS VARCHAR) AS conv_id,
+  CASE WHEN len(toks) >= {SHINGLE_K}
+       THEN array_to_string(toks[i+1 : i+{SHINGLE_K}], ' ')
+       ELSE array_to_string(toks, ' ') END AS shingle
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+LATERAL (SELECT unnest(CASE WHEN len(toks) >= {SHINGLE_K}
+                            THEN range(0, len(toks) - {SHINGLE_K} + 1)
+                            ELSE [0] END)) t(i)
+"""
+
+
+def q_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_shingles(spark, sf_dir).groupBy(F.col("conv_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+
+
+SQL_SHINGLE_COUNTS = f"""
+WITH sh AS ({SQL_SHINGLES})
+SELECT conv_id AS doc_id, count(*) AS n_shingles FROM sh GROUP BY 1
+"""
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deduputil_spark.operators.minhash import lsh_bands, minhash_signatures
+
+    cfg = DedupConfig(num_perm=NUM_PERM, lsh_bands=BANDS, lsh_rows=ROWS)
+    sigs = minhash_signatures(_doc_shingles(spark, sf_dir), cfg, family="md5")
+    return lsh_bands(sigs, cfg).select(F.col("conv_id").alias("doc_id"), "band_idx", "band_hash")
+
+
+SQL_MINHASH_BANDS = f"""
+WITH sh AS ({SQL_SHINGLES}),
+mins AS (
+  SELECT conv_id, i, min(md5(shingle || '#' || CAST(i AS VARCHAR))) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {NUM_PERM})) AS i) perms
+  GROUP BY conv_id, i
+)
+SELECT conv_id AS doc_id,
+       CAST(i // {ROWS} AS INT) AS band_idx,
+       md5(string_agg(h, '|' ORDER BY i)) AS band_hash
+FROM mins GROUP BY conv_id, i // {ROWS}
+"""
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deduputil_spark.operators.lsh import candidate_pairs
+
+    cfg = DedupConfig(num_perm=NUM_PERM, lsh_bands=BANDS, lsh_rows=ROWS, hot_bucket_cap=100000)
+    bands = q_minhash_bands(spark, sf_dir).withColumnRenamed("doc_id", "conv_id")
+    return candidate_pairs(bands, cfg).select(
+        F.col("conv_a").alias("doc_a"), F.col("conv_b").alias("doc_b")
+    )
+
+
+SQL_LSH_CANDIDATES = f"""
+WITH bands AS ({SQL_MINHASH_BANDS})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard verify on LSH candidates — integer-exact (inter, union)."""
+    sh = _doc_shingles(spark, sf_dir)
+    pairs = q_lsh_candidates(spark, sf_dir)
+    sizes = sh.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("conv_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("conv_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("conv_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("conv_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").alias("inter"),
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("uni"),
+        )
+        .filter(F.col("inter") * 10 >= F.col("uni") * 6)  # jaccard >= 0.6, exact
+    )
+    return out
+
+
+SQL_VERIFIED_PAIRS = f"""
+WITH sh AS ({SQL_SHINGLES}),
+cand AS ({SQL_LSH_CANDIDATES}),
+sz AS (SELECT conv_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.conv_id = c.doc_a
+  JOIN sh b ON b.conv_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter AS inter, (za.n + zb.n - i.inter) AS uni
+FROM inter i JOIN sz za ON za.conv_id = i.doc_a JOIN sz zb ON zb.conv_id = i.doc_b
+WHERE i.inter * 10 >= (za.n + zb.n - i.inter) * 6
+"""
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deduputil_spark.operators.cluster import connected_components
+
+    pairs = q_verified_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("conv_a"), F.col("doc_b").alias("conv_b")
+    )
+    return connected_components(pairs, max_iterations=30).select(
+        F.col("conv_id").alias("doc_id"), "cluster_id"
+    )
+
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_VERIFIED_PAIRS}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(v, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v
+)
+SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram Jaccard near-dup pairs (direct, non-LSH) — integer-exact."""
+    from deduputil_spark.operators.shingle import shingles
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("conv_id"), F.col("text").alias("doc_text"))
+    sh = shingles(docs, NGRAM_N)
+    sizes = sh.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("conv_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("conv_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("conv_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("conv_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", "inter", (F.col("na") + F.col("nb") - F.col("inter")).alias("uni"))
+        .filter(F.col("inter") * 2 >= F.col("uni"))  # jaccard >= 0.5
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS conv_id,
+    CASE WHEN len(toks) >= {NGRAM_N}
+         THEN array_to_string(toks[i+1 : i+{NGRAM_N}], ' ')
+         ELSE array_to_string(toks, ' ') END AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+  LATERAL (SELECT unnest(CASE WHEN len(toks) >= {NGRAM_N}
+                              THEN range(0, len(toks) - {NGRAM_N} + 1)
+                              ELSE [0] END)) t(i)
+),
+sz AS (SELECT conv_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.conv_id AS doc_a, b.conv_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.conv_id < b.conv_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter AS inter, (za.n + zb.n - i.inter) AS uni
+FROM inter i JOIN sz za ON za.conv_id = i.doc_a JOIN sz zb ON zb.conv_id = i.doc_b
+WHERE i.inter * 2 >= (za.n + zb.n - i.inter)
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (md5-bit source so DuckDB matches exactly)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).withColumn("h", F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10).cast("long"))
+    aggs = [
+        F.sum(F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    bucketed = toks.groupBy("doc_id").agg(*aggs)
+    expr = " + ".join([f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)])
+    return bucketed.select("doc_id", F.expr(f"CAST({expr} AS BIGINT)").alias("simhash"))
+
+
+SQL_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents)
+),
+buckets AS (
+  SELECT doc_id,
+    {", ".join(f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(SIMHASH_BITS))}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST({" + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+FROM buckets
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (integer-exact feature counts)
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    stop = ["the", "and", "of", "to", "is", "in", "that", "it", "for", "was"]
+    arr = ", ".join(f"'{w}'" for w in stop)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))).alias("n_punct"),
+        F.expr(
+            f"size(filter(split(lower(trim(text)), '\\\\s+'), t -> array_contains(array({arr}), t)))"
+        ).alias("n_stopwords"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+  len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+  length(text) AS n_chars_calc,
+  length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+  len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+      t -> list_contains(['the','and','of','to','is','in','that','it','for','was'], t))) AS n_stopwords
+FROM documents
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deduputil_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+SQL_LANGUAGE_ID = """
+WITH hits AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        t -> list_contains(['the','and','of','to','is','in','that','it','for','was'], t))) AS h_en,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        t -> list_contains(['el','la','de','que','los','las','una','por','con','para'], t))) AS h_es,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        t -> list_contains(['le','la','les','des','est','une','dans','pour','qui','pas'], t))) AS h_fr,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        t -> list_contains(['der','die','und','das','ist','von','mit','den','nicht','ein'], t))) AS h_de
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+       WHEN h_en >= greatest(h_es, h_fr, h_de) THEN 'en'
+       WHEN h_es >= greatest(h_fr, h_de) THEN 'es'
+       WHEN h_fr >= h_de THEN 'fr'
+       ELSE 'de' END AS lang_pred
+FROM hits
+"""
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deduputil_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir), w=8)
+
+
+SQL_DOC_FINGERPRINTS = """
+WITH grams AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 8 THEN md5(array_to_string(toks[i+1 : i+8], ' '))
+         ELSE md5(array_to_string(toks, ' ')) END AS g
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+  LATERAL (SELECT unnest(CASE WHEN len(toks) >= 8
+                              THEN range(0, len(toks) - 8 + 1)
+                              ELSE [0] END)) t(i)
+)
+SELECT doc_id, min(g) AS fingerprint FROM grams GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN / embedding similarity
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deduputil_spark.operators.ann import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return cosine_topk(emb, queries, k=ANN_K).select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank")
+    )
+
+
+SQL_ANN_TOPK = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(
+      (SELECT sum(CAST(qe AS DOUBLE) * CAST(ce AS DOUBLE))
+       FROM (SELECT unnest(q.embedding) qe, unnest(c.embedding) ce)) /
+      (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM (SELECT unnest(q.embedding) x))) *
+       sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM (SELECT unnest(c.embedding) x)))),
+      6) AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id % {QUERY_MOD} = 0 AND q.vec_id != c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deduputil_spark.operators.ann import embedding_near_pairs
+
+    return embedding_near_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+SQL_EMB_NEAR_PAIRS = """
+WITH scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(
+      (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y)) /
+      (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM (SELECT unnest(a.embedding) x))) *
+       sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM (SELECT unnest(b.embedding) x)))),
+      6) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events sessionization (gap rule, window functions)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.withColumn(
+        "new_sess",
+        (
+            F.coalesce(
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)), F.lit(SESSION_GAP_S + 1)
+            )
+            > SESSION_GAP_S
+        ).cast("int"),
+    )
+    return with_gap.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH g AS (
+  SELECT user_id,
+    CASE WHEN coalesce(epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)),
+                       {SESSION_GAP_S + 1}) > {SESSION_GAP_S} THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (non-SQL-expressible: pandas-UDF CDC, full pipeline)
+# ---------------------------------------------------------------------------
+
+def _synth_transcripts(spark: SparkSession):
+    from deduputil_spark.synth import synthesize
+
+    res = synthesize(n_base_convs=120, seed=42)
+    df = spark.createDataFrame(res.transcripts)
+    return df.withColumn("turn_idx", F.col("turn_idx").cast("int"))
+
+
+def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC chunker (mapInPandas) stats per conversation — rows-only check;
+    byte-exactness is pytest-golden-tested against the reference walk."""
+    from deduputil_spark.operators.assemble import assemble_documents
+    from deduputil_spark.operators.chunk import chunk_documents
+
+    t = _synth_transcripts(spark)
+    chunks = chunk_documents(assemble_documents(t), DedupConfig())
+    return (
+        chunks.filter(~F.col("is_tail"))
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"), F.sum("chunk_len").alias("chunk_bytes"))
+    )
+
+
+def q_transcript_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full transcript near-dup pipeline (rows-only; recall gated in pytest)."""
+    from deduputil_spark.plans.pipeline import run_pipeline
+
+    t = _synth_transcripts(spark)
+    res = run_pipeline(spark, t, DedupConfig(), checkpoint_dir=None, with_exact_dedup=False)
+    return res.clusters
+
+
+def q_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup→reconstruct equality flags per conversation (rows-only; all true)."""
+    from deduputil_spark.operators.assemble import assemble_documents
+    from deduputil_spark.operators.chunk import chunk_documents
+    from deduputil_spark.operators.dedup import build_block_store, build_file_meta
+    from deduputil_spark.operators.reconstruct import reconstruct_documents
+
+    t = _synth_transcripts(spark)
+    docs = assemble_documents(t)
+    chunks = chunk_documents(docs, DedupConfig())
+    blocks = build_block_store(chunks)
+    meta = build_file_meta(chunks, blocks)
+    recon = reconstruct_documents(meta, blocks)
+    return (
+        docs.select("conv_id", F.col("doc_text").alias("src"))
+        .join(recon, "conv_id")
+        .select("conv_id", (F.col("src") == F.col("doc_text")).alias("roundtrip_ok"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-dup clusters of the documents table at sf0.001."""
+    return q_dup_clusters(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "assemble_docs": q_assemble_docs,
+        "fsp_chunks": q_fsp_chunks,
+        "fsp_tails": q_fsp_tails,
+        "exact_dup_groups": q_exact_dup_groups,
+        "block_refcounts": q_block_refcounts,
+        "dedup_stats_by_source": q_dedup_stats_by_source,
+        "shingle_counts": q_shingle_counts,
+        "minhash_bands": q_minhash_bands,
+        "lsh_candidates": q_lsh_candidates,
+        "verified_pairs": q_verified_pairs,
+        "dup_clusters": q_dup_clusters,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "token_stats": q_token_stats,
+        "language_id": q_language_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "ann_topk": q_ann_topk,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        "sessionize": q_sessionize,
+        "cdc_chunk_stats": q_cdc_chunk_stats,
+        "transcript_clusters": q_transcript_clusters,
+        "roundtrip_check": q_roundtrip_check,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "assemble_docs": SQL_ASSEMBLE,
+        "fsp_chunks": SQL_FSP_CHUNKS,
+        "fsp_tails": SQL_FSP_TAILS,
+        "exact_dup_groups": SQL_EXACT_DUPS,
+        "block_refcounts": SQL_BLOCK_REFCOUNTS,
+        "dedup_stats_by_source": SQL_DEDUP_BY_SOURCE,
+        "shingle_counts": SQL_SHINGLE_COUNTS,
+        "minhash_bands": SQL_MINHASH_BANDS,
+        "lsh_candidates": SQL_LSH_CANDIDATES,
+        "verified_pairs": SQL_VERIFIED_PAIRS,
+        "dup_clusters": SQL_DUP_CLUSTERS,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "simhash": SQL_SIMHASH,
+        "token_stats": SQL_TOKEN_STATS,
+        "language_id": SQL_LANGUAGE_ID,
+        "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+        "ann_topk": SQL_ANN_TOPK,
+        "embedding_near_pairs": SQL_EMB_NEAR_PAIRS,
+        "sessionize": SQL_SESSIONIZE,
+        # cdc_chunk_stats / transcript_clusters / roundtrip_check: rows-only
+    }
