@@ -37,7 +37,9 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig | None = None) -> DataFra
 
     sizes = bands.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("bsz"))
     multi = sizes.filter(F.col("bsz") > 1)
-    b = bands.join(multi, ["band_idx", "band_hash"], "inner")
+    # persist: b feeds 3 branches (cold self-join, hot within, hot ring) —
+    # without it each branch re-executes the bands⋈sizes shuffle join
+    b = bands.join(multi, ["band_idx", "band_hash"], "inner").persist()
 
     cold = b.filter(F.col("bsz") <= cap).drop("bsz")
     hot = b.filter(F.col("bsz") > cap)

@@ -44,25 +44,94 @@ def _coeffs(num_perm: int, seed: int = 12345) -> tuple[list[int], list[int]]:
 def minhash_signatures(
     shingle_df: DataFrame, cfg: DedupConfig | None = None, family: str = "md5"
 ) -> DataFrame:
-    """(conv_id, shingle) -> (conv_id, sig array<string|long>[num_perm])."""
+    """(conv_id, shingle) -> (conv_id, sig array<string|long>[num_perm]).
+
+    families: "md5" (DuckDB-oracle-exact), "xxhash" (fast path over string
+    shingles), "keys" (fastest: numeric skey column from shingle_keys()).
+    """
     cfg = cfg or DedupConfig()
     p = cfg.num_perm
     if family == "md5":
+        base = shingle_df
         aggs = [
             F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
             for i in range(p)
         ]
-    elif family == "xxhash":
+    elif family in ("xxhash", "keys"):
         a, b = _coeffs(p)
-        h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(MERSENNE_P))  # 31-bit reduce first
+        src = F.col("skey") if family == "keys" else F.col("shingle")
+        # materialize the base hash as a column so the num_perm aggregates
+        # reuse it instead of re-hashing per permutation
+        base = shingle_df.select("conv_id", F.pmod(F.xxhash64(src), F.lit(MERSENNE_P)).alias("_h"))
         aggs = [
-            F.min(F.pmod(F.lit(a[i]) * h + F.lit(b[i]), F.lit(MERSENNE_P))).alias(f"h{i}")
+            F.min(F.pmod(F.lit(a[i]) * F.col("_h") + F.lit(b[i]), F.lit(MERSENNE_P))).alias(f"h{i}")
             for i in range(p)
         ]
     else:
         raise ValueError(f"unknown minhash family {family!r}")
-    sig = shingle_df.groupBy("conv_id").agg(*aggs)
+    sig = base.groupBy("conv_id").agg(*aggs)
     return sig.select("conv_id", F.array(*[F.col(f"h{i}") for i in range(p)]).alias("sig"))
+
+
+_SIG_SCHEMA = "conv_id string, sig array<bigint>"
+KGRAM_P = (1 << 57) - 13
+
+
+def doc_kgram_hashes(text: str, k: int) -> np.ndarray:
+    """Unique k-gram hash keys of a document (vectorized polynomial fold over
+    pandas-hashed tokens).  Shared by the numpy minhash and the array-based
+    Jaccard verifier so both sides see the SAME set definition."""
+    import pandas as pd
+
+    toks = text.split()
+    if not toks:
+        return np.zeros(0, dtype=np.int64)
+    th = pd.util.hash_pandas_object(pd.Series(toks), index=False).to_numpy().astype(np.int64)
+    th = np.abs(th) % KGRAM_P
+    if len(th) >= k:
+        kg = th[: len(th) - k + 1].copy()
+        for j in range(1, k):
+            kg = (kg * 31 + th[j : len(th) - k + 1 + j]) % KGRAM_P
+    else:
+        kg = th[:1].copy()
+        for j in range(1, len(th)):
+            kg = (kg * 31 + th[j : j + 1]) % KGRAM_P
+    return np.unique(kg)
+
+
+def minhash_signatures_numpy(
+    docs: DataFrame, cfg: DedupConfig | None = None, text_col: str = "doc_text", seed: int = 12345
+) -> DataFrame:
+    """Vectorized-numpy MinHash over assembled documents (mapInPandas).
+
+    NARROW — no exploded-shingle shuffle at all: tokens are hashed with a
+    vectorized polynomial, k-gram keys are a shifted-add fold, and the
+    num_perm universal rehashes are one (num_perm × m) matrix min per doc.
+    This is the scale path: signature cost is pure map CPU, and the only
+    shuffle in the whole signature→band flow is the final band exchange.
+    """
+    import pandas as pd
+
+    cfg = cfg or DedupConfig()
+    k = cfg.shingle_k
+    p = cfg.num_perm
+    rng = np.random.default_rng(seed)
+    A = rng.integers(1, MERSENNE_P, size=p, dtype=np.int64)[:, None]
+    B = rng.integers(0, MERSENNE_P, size=p, dtype=np.int64)[:, None]
+
+    def sig_batches(batches):
+        for pdf in batches:
+            out = []
+            for cid, text in zip(pdf["conv_id"], pdf[text_col]):
+                u = doc_kgram_hashes(text, k) % MERSENNE_P
+                if len(u) == 0:
+                    out.append((cid, [0] * p))
+                    continue
+                sig = ((A * u[None, :] + B) % MERSENNE_P).min(axis=1)
+                out.append((cid, sig.tolist()))
+            yield pd.DataFrame(out, columns=["conv_id", "sig"])
+
+    return docs.select("conv_id", text_col).mapInPandas(sig_batches, schema=_SIG_SCHEMA)
 
 
 def lsh_bands(signatures: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:

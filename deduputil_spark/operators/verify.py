@@ -24,17 +24,106 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+_KSET_SCHEMA = "conv_id string, kset array<bigint>"
+
+
+def _kgram_sets(docs: DataFrame, k: int, text_col: str = "doc_text") -> DataFrame:
+    """(conv_id, kset array<long>) — per-doc UNIQUE k-gram hash set, one row
+    per doc (numpy via mapInPandas; same set definition as the numpy minhash)."""
+    from collections.abc import Iterator as _It
+
+    from deduputil_spark.operators.minhash import doc_kgram_hashes
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (cid, doc_kgram_hashes(text, k).tolist())
+                for cid, text in zip(pdf["conv_id"], pdf[text_col])
+            ]
+            yield pd.DataFrame(out, columns=["conv_id", "kset"])
+
+    return docs.select("conv_id", text_col).mapInPandas(run, schema=_KSET_SCHEMA)
+
+
+def jaccard_verify_docs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    k: int = 5,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Exact Jaccard verify with NO exploded-shingle shuffle.
+
+    Candidate docs are pruned (broadcast semi-join) BEFORE any tokenization,
+    each candidate doc becomes ONE row carrying its k-gram hash set as an
+    array, and |A∩B| is a JVM array_intersect per pair — so verification
+    shuffles O(candidate_docs · set_size) longs once, and never touches
+    non-candidate documents."""
+    members = (
+        pairs.select(F.col("conv_a").alias("conv_id"))
+        .unionByName(pairs.select(F.col("conv_b").alias("conv_id")))
+        .distinct()
+    )
+    cand_docs = docs.join(F.broadcast(members), "conv_id", "left_semi")
+    ksets = _kgram_sets(cand_docs, k).persist()
+    a = ksets.select(F.col("conv_id").alias("conv_a"), F.col("kset").alias("ka"))
+    b = ksets.select(F.col("conv_id").alias("conv_b"), F.col("kset").alias("kb"))
+    out = (
+        pairs.join(a, "conv_a")
+        .join(b, "conv_b")
+        .select(
+            "conv_a",
+            "conv_b",
+            F.size(F.array_intersect("ka", "kb")).alias("inter"),
+            (F.size("ka") + F.size("kb")).alias("nsum"),
+        )
+        .select(
+            "conv_a",
+            "conv_b",
+            (F.col("inter") / (F.col("nsum") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+    if threshold is not None:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
 def jaccard_verify(
     pairs: DataFrame, shingle_df: DataFrame, threshold: float | None = None
 ) -> DataFrame:
     """(conv_a, conv_b) × (conv_id, shingle) -> (conv_a, conv_b, jaccard).
 
-    |A∩B| via join on shingle; |A∪B| = |A|+|B|-|A∩B|.  Set sizes are a tiny
-    per-doc aggregate (broadcastable).  Filter at `threshold` if given.
+    |A∩B| via join on shingle; |A∪B| = |A|+|B|-|A∩B|.  Filter at `threshold`.
+
+    SCALE: the shingle table is first SEMI-PRUNED to convs that appear in a
+    candidate pair (broadcast semi-join — pairs are tiny next to the corpus),
+    and only then deduplicated.  Verification cost therefore scales with the
+    candidate set, never with the corpus.  `shingle_df` may be the raw
+    (non-distinct) narrow shingle map.
     """
-    sizes = shingle_df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = shingle_df.select(F.col("conv_id").alias("conv_a"), "shingle")
-    sb = shingle_df.select(F.col("conv_id").alias("conv_b"), "shingle")
+    members = (
+        pairs.select(F.col("conv_a").alias("conv_id"))
+        .unionByName(pairs.select(F.col("conv_b").alias("conv_id")))
+        .distinct()
+    )
+    # persist: pruned feeds sizes + both join sides; without it the prune +
+    # distinct shuffle re-executes three times.  Shingles are reduced to
+    # 64-bit xxhash keys first — the distinct + equi-joins then shuffle longs
+    # instead of ~50-char strings (collision odds 2^-64·|set|² are negligible
+    # for set-size arithmetic).
+    pruned = (
+        shingle_df.join(F.broadcast(members), "conv_id", "left_semi")
+        .select("conv_id", F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+        .persist()
+    )
+    return _jaccard_on_sets(pairs, pruned, threshold)
+
+
+def _jaccard_on_sets(pairs: DataFrame, pruned: DataFrame, threshold: float | None) -> DataFrame:
+    """Shared core: (conv_id, shingle) DISTINCT sets -> pair Jaccard."""
+    sizes = pruned.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = pruned.select(F.col("conv_id").alias("conv_a"), "shingle")
+    sb = pruned.select(F.col("conv_id").alias("conv_b"), "shingle")
     inter = (
         pairs.join(sa, "conv_a")
         .join(sb, ["conv_b", "shingle"])

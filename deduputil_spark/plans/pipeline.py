@@ -29,9 +29,9 @@ from deduputil_spark.operators.chunk import chunk_documents
 from deduputil_spark.operators.cluster import connected_components
 from deduputil_spark.operators.dedup import build_block_store, build_file_meta
 from deduputil_spark.operators.lsh import candidate_pairs
-from deduputil_spark.operators.minhash import lsh_bands, minhash_signatures
-from deduputil_spark.operators.shingle import shingles
-from deduputil_spark.operators.verify import jaccard_verify
+from deduputil_spark.operators.minhash import lsh_bands, minhash_signatures, minhash_signatures_numpy
+from deduputil_spark.operators.shingle import shingle_keys, shingles
+from deduputil_spark.operators.verify import jaccard_verify, jaccard_verify_docs
 
 
 @dataclass
@@ -78,6 +78,10 @@ class Runner:
             if self.dir:
                 write_table(df, self._loc(stage))
                 df = read_table(self.spark, self._loc(stage))
+            else:
+                # no checkpoint table -> persist, or every downstream stage
+                # (and this count) recomputes the entire upstream lineage
+                df = df.persist()
         rows = df.count() if count_rows else -1
         self.metrics.append(
             StageMetric(
@@ -121,12 +125,27 @@ def run_pipeline(
     else:
         chunks = blocks = meta = None
 
-    sh = r.run("shingles", lambda: shingles(docs, cfg.shingle_k))
-    sigs = r.run("minhash", lambda: minhash_signatures(sh, cfg, family=minhash_family))
+    # Signature path choices (fast→oracle-exact):
+    #  - "numpy": vectorized mapInPandas minhash, NO exploded-shingle shuffle
+    #    at all (the scale default);
+    #  - "keys"/"xxhash": relational minhash over a lazy narrow shingle map
+    #    (min-over-multiset ⇒ no distinct() shuffle needed);
+    #  - "md5": bit-identical to the DuckDB oracle (correctness runs).
+    if minhash_family == "numpy":
+        sigs = r.run("minhash", lambda: minhash_signatures_numpy(docs, cfg))
+    else:
+        if minhash_family == "keys":
+            sh = shingle_keys(docs, cfg.shingle_k)
+        else:
+            sh = shingles(docs, cfg.shingle_k, distinct=False)
+        sigs = r.run("minhash", lambda: minhash_signatures(sh, cfg, family=minhash_family))
     bands = r.run("bands", lambda: lsh_bands(sigs, cfg))
     cands = r.run("candidates", lambda: candidate_pairs(bands, cfg))
+    # verify prunes DOCS before exploding shingles: cost scales with the
+    # candidate set, not the corpus
     verified = r.run(
-        "verified", lambda: jaccard_verify(cands, sh, threshold=cfg.jaccard_threshold)
+        "verified",
+        lambda: jaccard_verify_docs(cands, docs, cfg.shingle_k, threshold=cfg.jaccard_threshold),
     )
     clusters = r.run(
         "clusters",

@@ -100,7 +100,8 @@ def test_pipeline_recall_and_collision_separation(spark, transcripts, corpus, sh
     assert merged == 0
 
 
-def test_connected_components_vs_union_find(spark):
+@pytest.mark.parametrize("driver_threshold", [2_000_000, 0])  # driver + distributed paths
+def test_connected_components_vs_union_find(spark, driver_threshold):
     import random
 
     rng = random.Random(99)
@@ -110,7 +111,7 @@ def test_connected_components_vs_union_find(spark):
     pairs = spark.createDataFrame(edges, "conv_a string, conv_b string")
     got = {
         r["conv_id"]: r["cluster_id"]
-        for r in connected_components(pairs, max_iterations=50).collect()
+        for r in connected_components(pairs, max_iterations=50, driver_threshold=driver_threshold).collect()
     }
     # union-find oracle
     parent: dict[str, str] = {}
