@@ -536,6 +536,30 @@ SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35
 """
 
 
+HASHQ_BUCKETS = 1024
+
+
+def q_hash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference hashtest harness (bucket usage / max chain / collisions)."""
+    from deduputil_spark.operators.hashtest import hash_quality_report
+
+    return hash_quality_report(_docs(spark, sf_dir), "text", HASHQ_BUCKETS, "md5")
+
+
+SQL_HASH_QUALITY = f"""
+WITH per_bucket AS (
+  SELECT CAST(concat('0x', substr(md5(v), 1, 8)) AS BIGINT) % {HASHQ_BUCKETS} AS bucket,
+         count(*) AS chain
+  FROM (SELECT DISTINCT text AS v FROM documents)
+  GROUP BY 1
+)
+SELECT sum(chain) AS n_values, count(*) AS used_buckets, max(chain) AS max_chain,
+       round(avg(chain), 6) AS avg_chain,
+       sum(CASE WHEN chain > 1 THEN chain ELSE 0 END) AS collisions
+FROM per_bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events sessionization (gap rule, window functions)
 # ---------------------------------------------------------------------------
@@ -659,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "sessionize": q_sessionize,
+        "hash_quality": q_hash_quality,
         "cdc_chunk_stats": q_cdc_chunk_stats,
         "transcript_clusters": q_transcript_clusters,
         "roundtrip_check": q_roundtrip_check,
@@ -686,5 +711,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": SQL_ANN_TOPK,
         "embedding_near_pairs": SQL_EMB_NEAR_PAIRS,
         "sessionize": SQL_SESSIONIZE,
+        "hash_quality": SQL_HASH_QUALITY,
         # cdc_chunk_stats / transcript_clusters / roundtrip_check: rows-only
     }

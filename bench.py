@@ -68,43 +68,45 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     t = spark.read.parquet(corpus_path)
 
-    # headline: full near-dup pipeline (assemble→shingle→minhash→lsh→verify→cluster)
-    # one warmup run first — cold-JVM JIT otherwise dominates (~2.5× noise)
-    run_pipeline(spark, t, DedupConfig(), checkpoint_dir=None,
-                 minhash_family="numpy", with_exact_dedup=False).clusters.count()
+    # headline: full near-dup pipeline (assemble→minhash→lsh→verify→cluster)
+    # in production shape (run_pipeline_lean: no per-stage counts).  One full
+    # warmup run first — cold-JVM JIT otherwise dominates (~2.5× noise).
+    from deduputil_spark.plans.pipeline import run_pipeline_lean
+
+    run_pipeline_lean(spark, t, DedupConfig()).clusters.count()
     spark.catalog.clearCache()
     t0 = time.monotonic()
-    res = run_pipeline(spark, t, DedupConfig(), checkpoint_dir=None,
-                       minhash_family="numpy", with_exact_dedup=False)
+    res = run_pipeline_lean(spark, t, DedupConfig())
     n_clustered = res.clusters.count()
     timings["pipeline_cluster"] = round(time.monotonic() - t0, 3)
-    timings.update({f"stage_{m.stage}": round(m.wall_ms / 1000, 3) for m in res.metrics})
     extras["turns_per_sec"] = round(n_turns / timings["pipeline_cluster"], 1)
     extras["n_turns"] = n_turns
     extras["n_clustered_docs"] = n_clustered
 
-    # exact chunk dedup (CDC pandas-UDF path + block store)
-    from deduputil_spark.operators.assemble import assemble_documents
-    from deduputil_spark.operators.chunk import chunk_documents
-    from deduputil_spark.operators.dedup import build_block_store
+    if not os.environ.get("SPARK_GRAFT_PIPELINE_ONLY"):
+        # exact chunk dedup (CDC pandas-UDF path + block store)
+        from deduputil_spark.operators.assemble import assemble_documents
+        from deduputil_spark.operators.chunk import chunk_documents
+        from deduputil_spark.operators.dedup import build_block_store
 
-    t0 = time.monotonic()
-    docs = assemble_documents(t)
-    blocks = build_block_store(chunk_documents(docs, DedupConfig()))
-    n_blocks = blocks.count()
-    timings["cdc_exact_dedup"] = round(time.monotonic() - t0, 3)
-    extras["n_unique_blocks"] = n_blocks
-
-    # driver-table queries at sf_dir
-    for name in ["fsp_chunks", "minhash_bands", "verified_pairs", "ann_topk",
-                 "simhash", "token_stats", "sessionize"]:
-        q = em.queries()[name]
         t0 = time.monotonic()
-        q(spark, sf_dir).count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        docs = assemble_documents(t)
+        blocks = build_block_store(chunk_documents(docs, DedupConfig()))
+        n_blocks = blocks.count()
+        timings["cdc_exact_dedup"] = round(time.monotonic() - t0, 3)
+        extras["n_unique_blocks"] = n_blocks
+
+        # driver-table queries at sf_dir
+        for name in ["fsp_chunks", "minhash_bands", "verified_pairs", "ann_topk",
+                     "simhash", "token_stats", "sessionize"]:
+            q = em.queries()[name]
+            t0 = time.monotonic()
+            q(spark, sf_dir).count()
+            timings[name] = round(time.monotonic() - t0, 3)
 
     spark.stop()
-    total = round(sum(timings.values()), 3)
+    # stage_* entries are a breakdown of pipeline_cluster — don't double-count
+    total = round(sum(v for k, v in timings.items() if not k.startswith("stage_")), 3)
     return {
         "metric": "transcript_neardup_pipeline_total",
         "value": total,
@@ -120,7 +122,8 @@ def run_scaling(sf_dir: str) -> None:
     """Same job at local[8] and local[32]; efficiency = (thr32/thr8)/4."""
     results = {}
     for cpus in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_PIPELINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, timeout=3600,

@@ -104,6 +104,29 @@ class Runner:
                 f.write(json.dumps(m.__dict__) + "\n")
 
 
+def run_pipeline_lean(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: DedupConfig | None = None,
+) -> PipelineResult:
+    """Production dataflow shape: no per-stage counts/checkpoints — one lazy
+    plan with only the persists correctness requires (docs feeds 3 consumers,
+    candidate pairs feed 3 joins, verified feeds the CC fixpoint).  This is
+    what runs when you just want clusters written to a table; the metered
+    `run_pipeline` is for resumable checkpointed runs."""
+    cfg = cfg or DedupConfig()
+    docs = assemble_documents(transcripts).persist()
+    sigs = minhash_signatures_numpy(docs, cfg)
+    bands = lsh_bands(sigs, cfg)
+    cands = candidate_pairs(bands, cfg).persist()
+    verified = jaccard_verify_docs(cands, docs, cfg.shingle_k, threshold=cfg.jaccard_threshold).persist()
+    clusters = connected_components(
+        verified.select("conv_a", "conv_b"), cfg.max_cc_iterations,
+        all_vertices=docs.select("conv_id"),
+    )
+    return PipelineResult(clusters=clusters, verified_pairs=verified, blocks=None, file_meta=None)
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,
