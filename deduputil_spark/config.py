@@ -26,7 +26,7 @@ class DedupConfig:
     block_win_size: int = 48        # CDC rolling window (/root/reference/src/dedup.h:51)
     cdc_r: int = 13                 # cut when hash(win) % D == r (/root/reference/src/dedup.h:112)
     chunk_algo: str = "cdc"         # "fsp" | "cdc"  (reference -C flag)
-    cut_hash: str = "adler"         # "adler" | "rabin" (reference -f flag, default rolling adler)
+    cut_hash: str = "adler"         # "adler" | "rabin" | "elf" (reference -f flag; adler = default rolling)
 
     # --- shingling / signatures (similarity stage) ---
     shingle_k: int = 5              # k-gram word shingles
@@ -51,7 +51,7 @@ class DedupConfig:
             )
         if self.chunk_algo not in ("fsp", "cdc"):
             raise ValueError(f"unknown chunk_algo {self.chunk_algo!r}")
-        if self.cut_hash not in ("adler", "rabin"):
+        if self.cut_hash not in ("adler", "rabin", "elf"):
             raise ValueError(f"unknown cut_hash {self.cut_hash!r}")
 
     def config_hash(self) -> str:

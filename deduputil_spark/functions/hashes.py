@@ -155,6 +155,41 @@ def rabin_window_hashes(data: bytes, win: int = BLOCK_WIN) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# ELF hash (the reference's recommended CDC cut hash —
+# /root/reference/src/hash.c:69-85, praised at /root/reference/src/dedup.c:443)
+# ---------------------------------------------------------------------------
+
+def elf_hash(data: bytes) -> int:
+    """ELF_hash over `data` (C-string semantics: caller pre-truncates at NUL).
+    NOTE: `*str` is a signed char — bytes ≥ 0x80 add negative values."""
+    h = 0
+    for b in np.frombuffer(data, dtype=np.int8):
+        h = ((h << 4) + int(b)) & U32
+        x = h & 0xF0000000
+        if x:
+            h ^= x >> 24
+            h &= (~x) & U32
+    return h
+
+
+def elf_window_hashes(data: bytes, win: int = BLOCK_WIN) -> np.ndarray:
+    """ELF_hash of every length-`win` window, vectorized across positions
+    (win sequential steps, each a full-array op)."""
+    a = np.frombuffer(data, dtype=np.int8).astype(np.int64)
+    n = len(a) - win + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    h = np.zeros(n, dtype=np.int64)
+    idx = np.arange(n)
+    for k in range(win):
+        h = ((h << 4) + a[idx + k]) & U32
+        x = h & 0xF0000000
+        nz = x != 0
+        h = np.where(nz, (h ^ (x >> 24)) & (~x & U32), h)
+    return h.astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
 # CDC cut walks
 # ---------------------------------------------------------------------------
 
@@ -190,10 +225,10 @@ def cdc_cuts_ref(
                     fresh = False
                 else:
                     hkey = adler32_rolling(hkey, win, int(signed[h - 1]), int(signed[h + win - 1]))
-            else:  # rabin (g_rolling_hash == 0 path: full rehash each window)
+            else:  # non-rolling path (g_rolling_hash == 0): full rehash each window
                 stop = data.find(b"\x00", h, h + win)  # C strlen truncation
                 end = h + win if stop == -1 else stop
-                hkey = rabin_hash32(data[h:end])
+                hkey = rabin_hash32(data[h:end]) if cut_hash == "rabin" else elf_hash(data[h:end])
             if hkey % block_size == cdc_r:
                 cuts.append(h + win)
                 p = h + win
@@ -232,17 +267,18 @@ def cdc_cuts_fast(
         wsum = c[win:] - c[:-win]  # wsum[h] = sum(data[h:h+win])
         match = (np.mod(wsum, block_size) == cdc_r)
     else:
-        hk = rabin_window_hashes(data, win)
+        hk = rabin_window_hashes(data, win) if cut_hash == "rabin" else elf_window_hashes(data, win)
         # NUL-containing windows hash differently (strlen); handle lazily below
         match = (hk % np.uint64(block_size)) == np.uint64(cdc_r)
         if b"\x00" in data:
+            scalar = rabin_hash32 if cut_hash == "rabin" else elf_hash
             zero_pos = np.frombuffer(data, dtype=np.uint8) == 0
             zc = np.concatenate(([0], np.cumsum(zero_pos)))
             has_nul = (zc[win:] - zc[:-win]) > 0
             bad = np.flatnonzero(has_nul)
             for h in bad:
                 stop = data.find(b"\x00", h, h + win)
-                match[h] = rabin_hash32(data[h:stop]) % block_size == cdc_r
+                match[h] = scalar(data[h:stop]) % block_size == cdc_r
     match_pos = np.flatnonzero(match)  # window head positions that would cut
     cuts: list[int] = []
     p = 0

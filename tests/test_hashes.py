@@ -32,9 +32,22 @@ def test_cdc_fast_matches_reference_walk(n):
     assert cdc_cuts_fast(data) == cdc_cuts_ref(data)
 
 
-def test_cdc_rabin_path_matches():
+@pytest.mark.parametrize("fn", ["rabin", "elf"])
+def test_cdc_nonrolling_paths_match(fn):
     data = bytes(rng.randrange(256) for _ in range(30000))
-    assert cdc_cuts_fast(data, cut_hash="rabin") == cdc_cuts_ref(data, cut_hash="rabin")
+    assert cdc_cuts_fast(data, cut_hash=fn) == cdc_cuts_ref(data, cut_hash=fn)
+    # with embedded NULs (strlen truncation semantics)
+    data2 = bytes(rng.randrange(256) for _ in range(8000)) + b"\x00" + bytes(rng.randrange(256) for _ in range(8000))
+    assert cdc_cuts_fast(data2, cut_hash=fn) == cdc_cuts_ref(data2, cut_hash=fn)
+
+
+def test_elf_hash_vectorized_matches_scalar():
+    from deduputil_spark.functions.hashes import elf_hash, elf_window_hashes
+
+    data = bytes(rng.randrange(1, 256) for _ in range(300))
+    hw = elf_window_hashes(data, 48)
+    for i in range(0, len(data) - 48 + 1, 11):
+        assert int(hw[i]) == elf_hash(data[i : i + 48])
 
 
 def test_cdc_block_size_bounds():
