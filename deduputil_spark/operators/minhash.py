@@ -77,17 +77,10 @@ _SIG_SCHEMA = "conv_id string, sig array<bigint>"
 KGRAM_P = (1 << 57) - 13
 
 
-def doc_kgram_hashes(text: str, k: int) -> np.ndarray:
-    """Unique k-gram hash keys of a document (vectorized polynomial fold over
-    pandas-hashed tokens).  Shared by the numpy minhash and the array-based
-    Jaccard verifier so both sides see the SAME set definition."""
-    import pandas as pd
-
-    toks = text.split()
-    if not toks:
+def _kgrams_from_hashes(th: np.ndarray, k: int) -> np.ndarray:
+    """Unique k-gram keys from a doc's token-hash array (polynomial fold)."""
+    if len(th) == 0:
         return np.zeros(0, dtype=np.int64)
-    th = pd.util.hash_pandas_object(pd.Series(toks), index=False).to_numpy().astype(np.int64)
-    th = np.abs(th) % KGRAM_P
     if len(th) >= k:
         kg = th[: len(th) - k + 1].copy()
         for j in range(1, k):
@@ -97,6 +90,34 @@ def doc_kgram_hashes(text: str, k: int) -> np.ndarray:
         for j in range(1, len(th)):
             kg = (kg * 31 + th[j : j + 1]) % KGRAM_P
     return np.unique(kg)
+
+
+def batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Hash EVERY token of a batch of texts in one vectorized pass.
+
+    Returns (flat token-hash array reduced mod KGRAM_P, doc boundary offsets
+    of length len(texts)+1).  One pandas hash call per Arrow batch — per-doc
+    Series construction otherwise dominates for short documents."""
+    import pandas as pd
+
+    tok_lists = [t.split() for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    flat: list[str] = [tok for toks in tok_lists for tok in toks]
+    if flat:
+        th = pd.util.hash_pandas_object(pd.Series(flat), index=False).to_numpy().astype(np.int64)
+        th = np.abs(th) % KGRAM_P
+    else:
+        th = np.zeros(0, dtype=np.int64)
+    return th, offsets
+
+
+def doc_kgram_hashes(text: str, k: int) -> np.ndarray:
+    """Unique k-gram hash keys of one document (single-doc convenience;
+    batch paths use batch_token_hashes + _kgrams_from_hashes directly).
+    Shared set definition for numpy minhash AND the array Jaccard verifier."""
+    th, _ = batch_token_hashes([text])
+    return _kgrams_from_hashes(th, k)
 
 
 def minhash_signatures_numpy(
@@ -121,9 +142,11 @@ def minhash_signatures_numpy(
 
     def sig_batches(batches):
         for pdf in batches:
+            texts = list(pdf[text_col])
+            th, offs = batch_token_hashes(texts)
             out = []
-            for cid, text in zip(pdf["conv_id"], pdf[text_col]):
-                u = doc_kgram_hashes(text, k) % MERSENNE_P
+            for i, cid in enumerate(pdf["conv_id"]):
+                u = _kgrams_from_hashes(th[offs[i] : offs[i + 1]], k) % MERSENNE_P
                 if len(u) == 0:
                     out.append((cid, [0] * p))
                     continue

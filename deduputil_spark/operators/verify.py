@@ -32,13 +32,14 @@ def _kgram_sets(docs: DataFrame, k: int, text_col: str = "doc_text") -> DataFram
     per doc (numpy via mapInPandas; same set definition as the numpy minhash)."""
     from collections.abc import Iterator as _It
 
-    from deduputil_spark.operators.minhash import doc_kgram_hashes
+    from deduputil_spark.operators.minhash import _kgrams_from_hashes, batch_token_hashes
 
     def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         for pdf in batches:
+            th, offs = batch_token_hashes(list(pdf[text_col]))
             out = [
-                (cid, doc_kgram_hashes(text, k).tolist())
-                for cid, text in zip(pdf["conv_id"], pdf[text_col])
+                (cid, _kgrams_from_hashes(th[offs[i] : offs[i + 1]], k).tolist())
+                for i, cid in enumerate(pdf["conv_id"])
             ]
             yield pd.DataFrame(out, columns=["conv_id", "kset"])
 

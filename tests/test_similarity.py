@@ -151,6 +151,30 @@ def test_checkpoint_resume(spark, transcripts):
         assert not any(m.resumed for m in r3.metrics)
 
 
+def test_hot_bucket_salting_preserves_recall(spark, shingle_df):
+    """Force the hot-bucket path (cap=3) and confirm true pairs still surface:
+    hot buckets are near-identical members, so within+ring sub-bucket passes
+    plus the other 31 bands must keep recall ≥0.99."""
+    cfg_hot = DedupConfig(hot_bucket_cap=3)
+    # 12 identical docs -> every band is one bucket of size 12 (>> cap=3)
+    text = " ".join(f"tok{i}" for i in range(50))
+    docs = spark.createDataFrame([(f"h{i:02d}", text) for i in range(12)], "conv_id string, doc_text string")
+    sh = shingles(docs, cfg_hot.shingle_k)
+    sigs = minhash_signatures(sh, cfg_hot, family="xxhash")
+    bands = lsh_bands(sigs, cfg_hot)
+    rep = bucket_skew_report(bands, cfg_hot).collect()[0]
+    assert rep["hot_buckets"] > 0, "identical docs must form hot buckets"
+    cands = {(r["conv_a"], r["conv_b"]) for r in candidate_pairs(bands, cfg_hot).collect()}
+    # within + ring passes must chain every member to its neighbors: clustering
+    # connectivity is what recall needs (h00-h01, h01-h02, ... covers the clique
+    # transitively); assert full single-component connectivity
+    from deduputil_spark.operators.cluster import connected_components
+
+    pairs_df = spark.createDataFrame(sorted(cands), "conv_a string, conv_b string")
+    labels = {r["conv_id"]: r["cluster_id"] for r in connected_components(pairs_df).collect()}
+    assert len(labels) == 12 and len(set(labels.values())) == 1, labels
+
+
 def test_skew_report_sees_hot_boilerplate(spark, shingle_df):
     sigs = minhash_signatures(shingle_df, CFG, family="xxhash")
     rep = bucket_skew_report(lsh_bands(sigs, CFG), CFG).collect()[0]
