@@ -140,6 +140,10 @@ def minhash_signatures_numpy(
     A = rng.integers(1, MERSENNE_P, size=p, dtype=np.int64)[:, None]
     B = rng.integers(0, MERSENNE_P, size=p, dtype=np.int64)[:, None]
 
+    BLK = 192  # num_perm×BLK int64 intermediate ≈ 190 KB — stays L2-resident
+    # (the naive num_perm×m matrix is ~1 MB/doc; 32 concurrent workers then
+    # thrash the shared L3 and the stage goes memory-bound instead of CPU)
+
     def sig_batches(batches):
         for pdf in batches:
             texts = list(pdf[text_col])
@@ -150,7 +154,11 @@ def minhash_signatures_numpy(
                 if len(u) == 0:
                     out.append((cid, [0] * p))
                     continue
-                sig = ((A * u[None, :] + B) % MERSENNE_P).min(axis=1)
+                sig = np.full(p, MERSENNE_P, dtype=np.int64)
+                for s in range(0, len(u), BLK):
+                    blk = u[s : s + BLK]
+                    cand = (A * blk[None, :] + B) % MERSENNE_P
+                    np.minimum(sig, cand.min(axis=1), out=sig)
                 out.append((cid, sig.tolist()))
             yield pd.DataFrame(out, columns=["conv_id", "sig"])
 
