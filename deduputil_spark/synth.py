@@ -162,6 +162,10 @@ def write_corpus(out_dir: str, n_base_convs: int = 150, seed: int = 42) -> Synth
     """Materialize transcripts + truth_pairs as parquet under `out_dir`."""
     res = synthesize(n_base_convs=n_base_convs, seed=seed)
     os.makedirs(out_dir, exist_ok=True)
-    res.transcripts.to_parquet(os.path.join(out_dir, "transcripts.parquet"), index=False)
+    # small row groups: a single multi-GB row group is an UNSPLITTABLE scan
+    # unit — one Spark task would read the whole corpus (serialized assembly)
+    res.transcripts.to_parquet(
+        os.path.join(out_dir, "transcripts.parquet"), index=False, row_group_size=20_000
+    )
     res.truth_pairs.to_parquet(os.path.join(out_dir, "truth_pairs.parquet"), index=False)
     return res
