@@ -168,7 +168,7 @@ WITH ch AS ({SQL_FSP_CHUNKS})
 SELECT d.source AS source,
        count(*) AS total_blocks,
        count(DISTINCT ch.chunk_md5) AS unique_blocks,
-       sum(ch.chunk_len) AS total_bytes
+       CAST(sum(ch.chunk_len) AS BIGINT) AS total_bytes
 FROM ch JOIN documents d ON ch.doc_id = CAST(d.doc_id AS VARCHAR)
 GROUP BY 1
 """
@@ -553,9 +553,9 @@ WITH per_bucket AS (
   FROM (SELECT DISTINCT text AS v FROM documents)
   GROUP BY 1
 )
-SELECT sum(chain) AS n_values, count(*) AS used_buckets, max(chain) AS max_chain,
+SELECT CAST(sum(chain) AS BIGINT) AS n_values, count(*) AS used_buckets, max(chain) AS max_chain,
        round(avg(chain), 6) AS avg_chain,
-       sum(CASE WHEN chain > 1 THEN chain ELSE 0 END) AS collisions
+       CAST(sum(CASE WHEN chain > 1 THEN chain ELSE 0 END) AS BIGINT) AS collisions
 FROM per_bucket
 """
 
@@ -593,7 +593,7 @@ WITH g AS (
                        {SESSION_GAP_S + 1}) > {SESSION_GAP_S} THEN 1 ELSE 0 END AS new_sess
   FROM events
 )
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id
 """
 
 

@@ -1,6 +1,9 @@
 """Local replica of the driver's correctness gate: run every __spark_entry__
-query against its DuckDB oracle at sf0.001 and compare row count + values
-(order-insensitive, columns sorted by name — mirroring CORRECTNESS_r{N}.json)."""
+query against its DuckDB oracle and compare row count + values
+(order-insensitive, columns sorted by name — mirroring CORRECTNESS_r{N}.json).
+
+Runs at BOTH sf0.001 (fast) and sf0.01 (the driver's correctness sf) so a
+representation drift that only shows at the driver's scale is caught locally."""
 
 from __future__ import annotations
 
@@ -15,18 +18,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
 
 
+@pytest.fixture(scope="module", params=SF_DIRS, ids=["sf0.001", "sf0.01"])
+def sf_dir(request):
+    return request.param
+
+
 @pytest.fixture(scope="module")
-def ddb():
+def ddb(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
-        p = f"{SF_DIR}/{t}.parquet"
+        p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
@@ -53,13 +61,21 @@ ORACLE_NAMES = sorted(entrymod.oracle_sql().keys())
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
-def test_query_matches_oracle(spark, ddb, name):
+def test_query_matches_oracle(spark, ddb, sf_dir, name):
     q = entrymod.queries()[name]
-    df = q(spark, SF_DIR)
+    df = q(spark, sf_dir)
     spark_cols = df.columns
     spark_rows = [tuple(r) for r in df.collect()]
     res = ddb.sql(entrymod.oracle_sql()[name])
     duck_cols = res.columns
+    # The driver's value hash is representation-sensitive: DuckDB sum() yields
+    # HUGEINT (int128) which hash-mismatches Spark's bigint even when values are
+    # equal.  Guard here so the drift is caught locally (CORRECTNESS_r01 lesson).
+    bad = [
+        (c, str(t)) for c, t in zip(res.columns, res.types)
+        if str(t).upper().startswith(("HUGEINT", "UHUGEINT"))
+    ]
+    assert not bad, f"{name}: oracle returns int128 columns {bad}; CAST(... AS BIGINT) in the SQL"
     duck_rows = res.fetchall()
     assert sorted(c.lower() for c in spark_cols) == sorted(c.lower() for c in duck_cols), (
         f"{name}: columns {spark_cols} vs {duck_cols}"
@@ -77,8 +93,8 @@ ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(spark, name):
-    df = entrymod.queries()[name](spark, SF_DIR)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = entrymod.queries()[name](spark, sf_dir)
     assert df.count() >= 0
     if name == "roundtrip_check":
         assert df.filter(~df["roundtrip_ok"]).count() == 0
