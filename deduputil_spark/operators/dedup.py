@@ -165,21 +165,26 @@ def remove_documents(
         .join(live_refs, "bid", "inner")
     )
     # compact: new id = rank of old id among survivors (dense, order-preserving)
-    w = Window.orderBy("bid")
-    remap = live_blocks.select("bid").withColumn("new_bid", (F.row_number().over(w) - 1).cast("long"))
+    # via the two-pass range-partitioned rank — a global Window.orderBy would
+    # sort the entire surviving block store in ONE task
+    remap = assign_dense_ids(live_blocks.select("bid"), ["bid"], "new_bid")
     new_blocks = (
         live_blocks.join(remap, "bid", "inner")
         .drop("bid")
         .withColumnRenamed("new_bid", "bid")
     )
     # remap membership arrays: explode -> join -> re-collect in position order
+    # posexplode_outer yields a (pos=null, bid=null) row for empty-bids
+    # (tail-only) docs; collect_list skips nulls, so gating the struct on
+    # pos keeps their rebuilt bids [] instead of [null]
     new_meta = (
         surviving.select("conv_id", "tail_bytes", "n_blocks", F.posexplode_outer("bids").alias("pos", "bid"))
         .join(remap, "bid", "left")
         .groupBy("conv_id", "tail_bytes", "n_blocks")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "new_bid"))), lambda s: s["new_bid"]
+                F.array_sort(F.collect_list(F.when(F.col("pos").isNotNull(), F.struct("pos", "new_bid")))),
+                lambda s: s["new_bid"],
             ).alias("bids")
         )
         .withColumn("bids", F.coalesce("bids", F.array().cast("array<long>")))
@@ -209,6 +214,15 @@ def append_documents(
     novel_ids = assign_dense_ids(novel, ["md5", "chunk_bytes"], "bid").withColumn(
         "bid", (F.col("bid") + F.lit(start + 1)).cast("long")
     )
-    all_blocks = blocks.unionByName(novel_ids)
+    # pre-existing blocks referenced by the appended batch gain refcount —
+    # the reference's append path re-counts every reuse (dedup.c:329-395 on
+    # the rebuilt table); without this, stats under-report after append
+    add_refs = body.groupBy("md5", "chunk_bytes").agg(F.count(F.lit(1)).alias("_add_ref"))
+    updated_existing = (
+        blocks.join(add_refs, ["md5", "chunk_bytes"], "left")
+        .withColumn("refcount", F.col("refcount") + F.coalesce(F.col("_add_ref"), F.lit(0)))
+        .drop("_add_ref")
+    )
+    all_blocks = updated_existing.unionByName(novel_ids.select(*updated_existing.columns))
     new_meta = build_file_meta(new_chunks, all_blocks)
     return all_blocks, file_meta.unionByName(new_meta)

@@ -10,10 +10,11 @@ Strategy (north rule: "salted band-key repartitioning for skewed hot buckets"):
 2. Buckets of size 1 generate nothing — anti-joined away before the self-join.
 3. Buckets ≤ hot_bucket_cap take the normal pair self-join; AQE skew-join
    splitting handles residual imbalance.
-4. Buckets > cap are HOT: their members are (deterministically) rank-salted
-   into ceil(size/cap) sub-buckets; pairs are generated within sub-buckets
-   plus a ring pass between adjacent sub-buckets.  This bounds any single
-   task's pair fan-out at ~cap² while keeping same-bucket recall high for the
+4. Buckets > cap are HOT: their members are (deterministically) hash-salted
+   into ceil(size/cap) sub-buckets — a stateless projection
+   (pmod(xxhash64(conv_id), n_sub)), no per-bucket sort; pairs are generated
+   within sub-buckets plus a ring pass between adjacent sub-buckets.  This
+   bounds any single task's pair fan-out at ~cap² while keeping recall high for the
    dominant case (hot buckets are boilerplate — members are near-identical, so
    any co-bucket pair that matters also co-occurs in several other bands; the
    per-band truncation is logged and measured by the planted-pair recall
@@ -24,7 +25,7 @@ All relational, no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deduputil_spark.config import DedupConfig
@@ -52,11 +53,12 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig | None = None) -> DataFra
         .select("conv_a", "conv_b")
     )
 
-    # hot path: deterministic rank-salt into sub-buckets of ~cap members
-    w_rank = F.row_number().over(
-        Window.partitionBy("band_idx", "band_hash").orderBy("conv_id")
-    )
-    salted = hot.withColumn("salt", ((w_rank - 1) / cap).cast("int"))
+    # hot path: deterministic STATELESS hash-salt into ~ceil(bsz/cap)
+    # sub-buckets.  A rank-salt (row_number over the bucket) would sort each
+    # hot bucket — by definition the biggest ones — in a single task; the
+    # hash-salt is a pure projection, no window, no sort.
+    n_sub = F.greatest(F.ceil(F.col("bsz") / F.lit(cap)).cast("int"), F.lit(1))
+    salted = hot.withColumn("salt", F.pmod(F.xxhash64("conv_id"), n_sub).cast("int"))
     sl = salted.select("band_idx", "band_hash", "salt", F.col("conv_id").alias("conv_a"))
     sr = salted.select("band_idx", "band_hash", "salt", F.col("conv_id").alias("conv_b"))
     within = (
@@ -68,10 +70,16 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig | None = None) -> DataFra
     sr_next = salted.select(
         "band_idx", "band_hash", (F.col("salt") - 1).alias("salt"), F.col("conv_id").alias("conv_b")
     )
+    # sub-bucket membership is hash-ordered, so canonicalize with
+    # least/greatest rather than filtering conv_a < conv_b (which would drop
+    # every cross edge whose orientation happens to be reversed)
     ring = (
         sl.join(sr_next, ["band_idx", "band_hash", "salt"])
-        .filter(F.col("conv_a") < F.col("conv_b"))
-        .select("conv_a", "conv_b")
+        .filter(F.col("conv_a") != F.col("conv_b"))
+        .select(
+            F.least("conv_a", "conv_b").alias("conv_a"),
+            F.greatest("conv_a", "conv_b").alias("conv_b"),
+        )
     )
     return cold_pairs.unionByName(within).unionByName(ring).distinct()
 

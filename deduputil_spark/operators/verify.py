@@ -54,7 +54,7 @@ def jaccard_verify_docs(
 ) -> DataFrame:
     """Exact Jaccard verify with NO exploded-shingle shuffle.
 
-    Candidate docs are pruned (broadcast semi-join) BEFORE any tokenization,
+    Candidate docs are pruned (semi-join; AQE broadcasts when small) BEFORE any tokenization,
     each candidate doc becomes ONE row carrying its k-gram hash set as an
     array, and |A∩B| is a JVM array_intersect per pair — so verification
     shuffles O(candidate_docs · set_size) longs once, and never touches
@@ -64,7 +64,9 @@ def jaccard_verify_docs(
         .unionByName(pairs.select(F.col("conv_b").alias("conv_id")))
         .distinct()
     )
-    cand_docs = docs.join(F.broadcast(members), "conv_id", "left_semi")
+    # no forced broadcast: distinct pair members can reach tens of millions at
+    # corpus scale — let AQE pick broadcast vs shuffled semi-join by size
+    cand_docs = docs.join(members, "conv_id", "left_semi")
     ksets = _kgram_sets(cand_docs, k).persist()
     a = ksets.select(F.col("conv_id").alias("conv_a"), F.col("kset").alias("ka"))
     b = ksets.select(F.col("conv_id").alias("conv_b"), F.col("kset").alias("kb"))
@@ -96,8 +98,8 @@ def jaccard_verify(
     |A∩B| via join on shingle; |A∪B| = |A|+|B|-|A∩B|.  Filter at `threshold`.
 
     SCALE: the shingle table is first SEMI-PRUNED to convs that appear in a
-    candidate pair (broadcast semi-join — pairs are tiny next to the corpus),
-    and only then deduplicated.  Verification cost therefore scales with the
+    candidate pair (semi-join — pairs are small next to the corpus, AQE
+    broadcasts when they fit), and only then deduplicated.  Verification cost therefore scales with the
     candidate set, never with the corpus.  `shingle_df` may be the raw
     (non-distinct) narrow shingle map.
     """
@@ -111,8 +113,9 @@ def jaccard_verify(
     # 64-bit xxhash keys first — the distinct + equi-joins then shuffle longs
     # instead of ~50-char strings (collision odds 2^-64·|set|² are negligible
     # for set-size arithmetic).
+    # semi-prune without a forced broadcast (unbounded cardinality; AQE decides)
     pruned = (
-        shingle_df.join(F.broadcast(members), "conv_id", "left_semi")
+        shingle_df.join(members, "conv_id", "left_semi")
         .select("conv_id", F.xxhash64("shingle").alias("shingle"))
         .distinct()
         .persist()
