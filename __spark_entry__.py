@@ -486,7 +486,14 @@ SELECT doc_id, min(g) AS fingerprint FROM grams GROUP BY doc_id
 # ANN / embedding similarity
 # ---------------------------------------------------------------------------
 
-def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+EMB_DIM = 64
+ANN_PLANES = 4        # SRP bits per table
+ANN_TABLES = 8        # independent hash tables
+ANN_SEED = 7
+
+
+def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k — the exactness baseline for the SRP path."""
     from deduputil_spark.operators.ann import cosine_topk
 
     emb = _emb(spark, sf_dir)
@@ -496,7 +503,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_ANN_TOPK = f"""
+SQL_ANN_TOPK_BRUTE = f"""
 WITH scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
     round(
@@ -506,6 +513,82 @@ WITH scored AS (
        sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM (SELECT unnest(c.embedding) x)))),
       6) AS cos
   FROM embeddings q JOIN embeddings c ON q.vec_id % {QUERY_MOD} = 0 AND q.vec_id != c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def _srp_planes_values() -> str:
+    """VALUES rows (tbl, pidx, plane DOUBLE[]) replicating the Spark-side SRP
+    hyperplanes, so DuckDB reproduces the bucketing bit-for-bit (min |dot|
+    over this data is 4e-5 — 10 orders above float summation-order noise)."""
+    from deduputil_spark.operators.ann import srp_planes, table_seed
+
+    rows = []
+    for t in range(ANN_TABLES):
+        planes = srp_planes(ANN_PLANES, EMB_DIM, table_seed(ANN_SEED, t))
+        for i, row in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in row) + "]"
+            rows.append(f"({t}, {i}, {lit})")
+    return ",\n".join(rows)
+
+
+def _sql_srp_sig_ctes() -> str:
+    """CTE chain planes -> bits -> sig(vec_id, tbl, bucket); bucket bit order
+    matches the Spark fold (plane 0 = most significant bit)."""
+    return f"""planes(tbl, pidx, pv) AS (VALUES
+{_srp_planes_values()}
+),
+bits AS (
+  SELECT e.vec_id, p.tbl, p.pidx,
+         CASE WHEN (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                    FROM (SELECT unnest(e.embedding) x, unnest(p.pv) y)) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes p
+),
+sig AS (
+  SELECT vec_id, tbl,
+         CAST(sum(bit * (1 << ({ANN_PLANES} - 1 - pidx))) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id, tbl
+)"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path: multi-table SRP-bucketed top-k (no full scan).  The
+    DuckDB oracle replicates the bucketing exactly, certifying the bucketed
+    semantics, not just the lucky full-recall case."""
+    from deduputil_spark.operators.ann import lsh_bucketed_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return lsh_bucketed_topk(
+        emb, queries, k=ANN_K, n_planes=ANN_PLANES, n_tables=ANN_TABLES, seed=ANN_SEED, dim=EMB_DIM
+    ).select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
+
+
+SQL_ANN_TOPK = f"""
+WITH {_sql_srp_sig_ctes()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id % {QUERY_MOD} = 0 AND a.vec_id != b.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    round(
+      (SELECT sum(CAST(qe AS DOUBLE) * CAST(ce AS DOUBLE))
+       FROM (SELECT unnest(q.embedding) qe, unnest(c.embedding) ce)) /
+      (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM (SELECT unnest(q.embedding) x))) *
+       sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM (SELECT unnest(c.embedding) x)))),
+      6) AS cos
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cos,
@@ -531,6 +614,44 @@ WITH scored AS (
        sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM (SELECT unnest(b.embedding) x)))),
       6) AS cos
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35
+"""
+
+
+def q_embedding_near_pairs_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for threshold near-pairs: candidates generated only
+    within (table, srp_bucket), never all-pairs.  Oracle replicates the
+    bucketing, so the hash match certifies the bucketed plan's semantics."""
+    from deduputil_spark.operators.ann import srp_near_pairs
+
+    return srp_near_pairs(
+        _emb(spark, sf_dir),
+        threshold=0.35,
+        n_planes=ANN_PLANES,
+        n_tables=ANN_TABLES,
+        seed=ANN_SEED,
+        dim=EMB_DIM,
+    )
+
+
+SQL_EMB_NEAR_PAIRS_SRP = f"""
+WITH {_sql_srp_sig_ctes()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT cand.id_a, cand.id_b,
+    round(
+      (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y)) /
+      (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM (SELECT unnest(a.embedding) x))) *
+       sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM (SELECT unnest(b.embedding) x)))),
+      6) AS cos
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.id_a
+  JOIN embeddings b ON b.vec_id = cand.id_b
 )
 SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35
 """
@@ -681,7 +802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "doc_fingerprints": q_doc_fingerprints,
         "ann_topk": q_ann_topk,
+        "ann_topk_brute": q_ann_topk_brute,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "embedding_near_pairs_srp": q_embedding_near_pairs_srp,
         "sessionize": q_sessionize,
         "hash_quality": q_hash_quality,
         "cdc_chunk_stats": q_cdc_chunk_stats,
@@ -709,7 +832,9 @@ def oracle_sql() -> dict[str, str]:
         "language_id": SQL_LANGUAGE_ID,
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,
         "ann_topk": SQL_ANN_TOPK,
+        "ann_topk_brute": SQL_ANN_TOPK_BRUTE,
         "embedding_near_pairs": SQL_EMB_NEAR_PAIRS,
+        "embedding_near_pairs_srp": SQL_EMB_NEAR_PAIRS_SRP,
         "sessionize": SQL_SESSIONIZE,
         "hash_quality": SQL_HASH_QUALITY,
         # cdc_chunk_stats / transcript_clusters / roundtrip_check: rows-only

@@ -4,11 +4,19 @@
   arithmetic in DOUBLE via zip_with + aggregate (JVM-side higher-order
   functions, no UDF); scores rounded to 6 decimals with id tie-breaks so
   results are reproducible across engines.
-- `lsh_bucketed_topk` — the scale path: random-hyperplane (SRP) bucketing;
-  queries only score candidates sharing their hyperplane signature bucket,
-  turning the O(N·Q) scan into a bucket-local join.  Recall is tunable via
-  n_planes/n_tables.
-- `embedding_near_pairs` — threshold near-dup pairs (dedup by embedding).
+- `lsh_bucketed_topk` — the scale path: multi-table random-hyperplane (SRP)
+  bucketing; queries only score candidates sharing a hyperplane-signature
+  bucket in at least one table, turning the O(N·Q) scan into bucket-local
+  joins.  Recall is tunable via n_planes (bucket granularity) × n_tables
+  (independent chances).
+- `srp_near_pairs` — the scale path for threshold near-dup pairs: pair
+  generation happens only within (table, bucket), never all-pairs.
+- `embedding_near_pairs` — brute-force threshold pairs, kept as the
+  small-scale oracle for the bucketed variant.
+
+Hyperplanes are a deterministic seeded literal matrix folded into the plan
+(`srp_planes`), so an external engine (the DuckDB oracle) can reproduce the
+bucketing bit-for-bit.
 """
 
 from __future__ import annotations
@@ -38,6 +46,29 @@ def _norm(a):
 
 def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return emb.withColumn("_norm", _norm(F.col(vec_col)))
+
+
+def srp_planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic hyperplane matrix (n_planes × dim) for SRP bucketing.
+    Shared by the Spark operators and the SQL-oracle generator so both engines
+    compute identical buckets."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def table_seed(seed: int, table: int) -> int:
+    """Per-table plane seed (stable scheme shared with the SQL oracle)."""
+    return seed + 7919 * table
+
+
+def _srp_bucket_col(vec_col: str, planes: np.ndarray):
+    """Bucket id column: plane 0 is the most significant bit."""
+    bucket = None
+    for row in planes:
+        lit_plane = F.array(*[F.lit(float(x)) for x in row])
+        bit = (_dot(F.col(vec_col), lit_plane) >= 0).cast("long")
+        bucket = bit if bucket is None else bucket * 2 + bit
+    return bucket
 
 
 def cosine_topk(
@@ -82,17 +113,8 @@ def srp_signatures(
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
-    """Sign-random-projection bucket id per vector (one 16-bit bucket).
-
-    Hyperplanes are a deterministic literal matrix folded into the plan —
-    n_planes dot products via zip_with over a broadcast-free literal array."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    bucket = None
-    for i in range(n_planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bit = (_dot(F.col(vec_col), lit_plane) >= 0).cast("long")
-        bucket = bit if bucket is None else bucket * 2 + bit
+    """Sign-random-projection bucket id per vector (one n_planes-bit bucket)."""
+    bucket = _srp_bucket_col(vec_col, srp_planes(n_planes, dim, seed))
     return emb.select(F.col(id_col), F.col(vec_col), bucket.alias("srp_bucket"))
 
 
@@ -101,24 +123,39 @@ def lsh_bucketed_topk(
     queries: DataFrame,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 1,
+    seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
-    """ANN via SRP buckets: score only same-bucket candidates.
+    """ANN via multi-table SRP buckets: score only candidates sharing a bucket
+    with the query in ≥1 table.
 
-    At cluster scale, corpus signatures are precomputed once and bucket-
-    partitioned; the query join is then bucket-local (no full scan)."""
-    csig = srp_signatures(emb, n_planes, id_col=id_col, vec_col=vec_col, dim=dim)
-    qsig = srp_signatures(queries, n_planes, id_col=id_col, vec_col=vec_col, dim=dim).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "srp_bucket"
-    ).withColumn("qn", _norm(F.col("qv")))
-    c = csig.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "srp_bucket"
-    ).withColumn("cn", _norm(F.col("cv")))
+    At cluster scale, corpus signatures are precomputed once per table and
+    bucket-partitioned; the query join is then bucket-local (no full scan) and
+    the candidate union is distinct-ed before the (expensive) scoring join."""
+    cand = None
+    for t in range(n_tables):
+        bucket = _srp_bucket_col(vec_col, srp_planes(n_planes, dim, table_seed(seed, t)))
+        qb = queries.select(F.col(id_col).alias("query_id"), bucket.alias("b"))
+        nb = emb.select(F.col(id_col).alias("neighbor_id"), bucket.alias("b"))
+        p = (
+            qb.join(nb, "b")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
+        "qn", _norm(F.col("qv"))
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).withColumn(
+        "cn", _norm(F.col("cv"))
+    )
     scored = (
-        qsig.join(c, "srp_bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -133,10 +170,56 @@ def lsh_bucketed_topk(
     )
 
 
+def srp_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Bucketed threshold near-pairs: candidates are generated ONLY within
+    (table, srp_bucket) — never all-pairs — then scored exactly and filtered.
+
+    Recall vs `embedding_near_pairs` is governed by (1-(1-p^n_planes)^n_tables)
+    with p = 1 - angle/π; the pytest gate measures it on the planted corpus.
+    """
+    cand = None
+    for t in range(n_tables):
+        bucket = _srp_bucket_col(vec_col, srp_planes(n_planes, dim, table_seed(seed, t)))
+        sig = emb.select(F.col(id_col).alias("_id"), bucket.alias("b"))
+        a = sig.select(F.col("_id").alias("id_a"), "b")
+        b = sig.select(F.col("_id").alias("id_b"), "b")
+        p = a.join(b, "b").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")).withColumn(
+        "na", _norm(F.col("va"))
+    )
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")).withColumn(
+        "nb", _norm(F.col("vb"))
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def embedding_near_pairs(
     emb: DataFrame, threshold: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """All pairs above a cosine threshold (embedding near-dup dedup)."""
+    """All pairs above a cosine threshold — brute force O(N²).
+
+    Kept as the small-scale oracle for `srp_near_pairs`; never the plan of
+    record at corpus scale."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")).withColumn(
         "na", _norm(F.col("va"))
     )

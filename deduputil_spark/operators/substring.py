@@ -36,10 +36,14 @@ def containment_candidates(
     and it reuses the shingle machinery (hot anchors capped like LSH buckets).
     """
     anch = shingles(docs, k=w).withColumn("anchor", F.md5("shingle")).select("conv_id", "anchor")
-    sizes = anch.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_anchors"))
     # prune mega-hot anchors (boilerplate): they cannot certify containment
     hot = anch.groupBy("anchor").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > max_bucket)
     pruned = anch.join(hot.select("anchor"), "anchor", "left_anti")
+    # sizes from the PRUNED set: dividing by the unpruned count would make any
+    # doc containing one hot anchor unable to reach containment 1.0 (silent
+    # recall loss); a doc whose anchors are ALL hot drops out entirely, which
+    # is the explicit hot-anchor tradeoff, not a denominator artifact
+    sizes = pruned.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_anchors"))
     a = pruned.select(F.col("conv_id").alias("conv_a"), "anchor")
     b = pruned.select(F.col("conv_id").alias("conv_b"), "anchor")
     inter = (
