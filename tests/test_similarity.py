@@ -202,3 +202,33 @@ def test_substring_pass(spark, docs, corpus):
     assert len(sub) > 0
     hit = sum((r["conv_a"], r["conv_b"]) in got for _, r in sub.iterrows())
     assert hit / len(sub) >= 0.99, f"substring recall {hit}/{len(sub)}"
+
+
+def test_oph_signature_estimator_quality():
+    """OPH signatures (the scale scheme): agreement fraction is an unbiased
+    Jaccard estimator (mean bias < 0.02 over 40 seeded set pairs) and exact
+    for identical sets; densification keeps short docs banding-safe."""
+    import numpy as np
+
+    from deduputil_spark.operators.minhash import MERSENNE_P, oph_bin_edges, oph_signature
+
+    k = CFG.num_perm
+    edges = oph_bin_edges(k)
+    rng = np.random.default_rng(5)
+    biases = []
+    for _ in range(40):
+        inter = rng.integers(0, MERSENNE_P, 1400)
+        a = np.unique(np.concatenate((inter, rng.integers(0, MERSENNE_P, 600))))
+        b = np.unique(np.concatenate((inter, rng.integers(0, MERSENNE_P, 600))))
+        tj = len(np.intersect1d(a, b)) / len(np.union1d(a, b))
+        est = (oph_signature(a, k, edges) == oph_signature(b, k, edges)).mean()
+        biases.append(est - tj)
+    assert abs(float(np.mean(biases))) < 0.02, np.mean(biases)
+    same = np.unique(rng.integers(0, MERSENNE_P, 500))
+    assert (oph_signature(same, k, edges) == oph_signature(same.copy(), k, edges)).all()
+    # short doc: fewer elements than bins -> densified, no sentinel left
+    short = np.unique(rng.integers(0, MERSENNE_P, 9))
+    s = oph_signature(short, k, edges)
+    assert len(s) == k and (s < MERSENNE_P).all()
+    # empty doc convention matches kperm: all zeros
+    assert (oph_signature(np.zeros(0, dtype=np.int64), k, edges) == 0).all()
