@@ -53,6 +53,15 @@ class DedupConfig:
             raise ValueError(f"unknown chunk_algo {self.chunk_algo!r}")
         if self.cut_hash not in ("adler", "rabin", "elf"):
             raise ValueError(f"unknown cut_hash {self.cut_hash!r}")
+        # the vectorized adler cut test reduces adler32(win) % block_size to a
+        # windowed byte-sum residue, which is exact only when block_size
+        # divides 2^16; reject other sizes rather than silently diverging from
+        # the reference binary's cuts (the reference -b accepts any size)
+        if self.block_size <= 0 or (self.block_size & (self.block_size - 1)) != 0 or self.block_size > 65536:
+            raise ValueError(
+                f"block_size {self.block_size} must be a power of two <= 65536 "
+                "(vectorized adler cut-test validity)"
+            )
 
     def config_hash(self) -> str:
         """Stable 12-hex digest of every semantic knob; stamped on checkpoints."""

@@ -169,7 +169,10 @@ def elf_hash(data: bytes) -> int:
         if x:
             h ^= x >> 24
             h &= (~x) & U32
-    return h
+    # ELF_hash's final `& 0x7FFFFFFF` (hash.c:84).  The loop clears the top
+    # nibble every iteration so this is provably a no-op, kept for literal
+    # parity with the reference.
+    return h & 0x7FFFFFFF
 
 
 def elf_window_hashes(data: bytes, win: int = BLOCK_WIN) -> np.ndarray:
@@ -186,7 +189,7 @@ def elf_window_hashes(data: bytes, win: int = BLOCK_WIN) -> np.ndarray:
         x = h & 0xF0000000
         nz = x != 0
         h = np.where(nz, (h ^ (x >> 24)) & (~x & U32), h)
-    return h.astype(np.uint64)
+    return (h & 0x7FFFFFFF).astype(np.uint64)  # ELF_hash final mask (hash.c:84)
 
 
 # ---------------------------------------------------------------------------
@@ -261,6 +264,10 @@ def cdc_cuts_fast(
     n = len(data)
     if n - win + 1 <= 0:
         return []
+    if cut_hash == "adler" and ((block_size & (block_size - 1)) != 0 or block_size > 65536):
+        # byte-sum residue shortcut requires block_size | 2^16; fall back to
+        # the scalar reference walk rather than silently diverging
+        return cdc_cuts_ref(data, block_size, min_size, max_size, win, cdc_r, cut_hash)
     if cut_hash == "adler":
         s = np.frombuffer(data, dtype=np.int8).astype(np.int64)
         c = np.concatenate(([0], np.cumsum(s)))

@@ -20,6 +20,7 @@ dedup -s, `extract_package` = dedup -x, `append_package` = dedup -a,
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -113,21 +114,34 @@ def remove_from_package(spark: SparkSession, conv_ids: DataFrame, pkg_dir: str) 
     _rewrite(spark, pkg_dir, nb, nm)
 
 
+def _swap(pkg_dir: str, name: str) -> None:
+    final = _p(pkg_dir, name)
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(final + "_tmp", final)
+
+
 def _rewrite(spark: SparkSession, pkg_dir: str, blocks: DataFrame, meta: DataFrame) -> None:
-    """Stage-then-swap (parquet can't overwrite its own input mid-plan)."""
+    """Stage-then-rename (parquet can't overwrite its own input mid-plan).
+
+    The tmp write fully materializes the new tables; the swap is a pure
+    filesystem rename — data is written ONCE, not twice.  On an object-store
+    deployment the io.py Iceberg seam replaces this with a snapshot commit."""
     blocks.write.mode("overwrite").parquet(_p(pkg_dir, "blocks_tmp"))
     meta.write.mode("overwrite").parquet(_p(pkg_dir, "file_meta_tmp"))
-    spark.read.parquet(_p(pkg_dir, "blocks_tmp")).write.mode("overwrite").parquet(_p(pkg_dir, "blocks"))
-    spark.read.parquet(_p(pkg_dir, "file_meta_tmp")).write.mode("overwrite").parquet(_p(pkg_dir, "file_meta"))
-    # refresh manifest counts
+    # manifest must be collected BEFORE the swap unlinks its sibling tables'
+    # old files (the read is lazy)
     manifest = spark.read.parquet(_p(pkg_dir, "manifest")).collect()[0].asDict()
+    _swap(pkg_dir, "blocks")
+    _swap(pkg_dir, "file_meta")
     b = spark.read.parquet(_p(pkg_dir, "blocks"))
     m = spark.read.parquet(_p(pkg_dir, "file_meta"))
-    manifest["block_num"] = b.count()
+    # refresh every derived header field (counts AND byte totals — the
+    # reference recomputes its header on rewrite, dedup.c:1162-1189)
+    st = dedup_stats(b, m)
+    manifest["block_num"] = st.unique_blocks
     manifest["file_num"] = m.count()
+    manifest["total_bytes"] = st.total_bytes
+    manifest["stored_bytes"] = st.unique_bytes
     spark.createDataFrame([tuple(manifest.values())], list(manifest.keys())).write.mode(
         "overwrite"
-    ).parquet(_p(pkg_dir, "manifest_tmp"))
-    spark.read.parquet(_p(pkg_dir, "manifest_tmp")).write.mode("overwrite").parquet(
-        _p(pkg_dir, "manifest")
-    )
+    ).parquet(_p(pkg_dir, "manifest"))

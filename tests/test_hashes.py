@@ -89,3 +89,30 @@ def test_fsp_cuts():
     assert fsp_cuts(4095) == []
     assert fsp_cuts(4096) == [4096]
     assert fsp_cuts(10000) == [4096, 8192]
+
+
+def test_cdc_fast_nonpow2_blocksize_falls_back_to_ref():
+    """Non-power-of-two block_size: cdc_cuts_fast must still equal the scalar
+    reference walk (byte-sum shortcut invalid -> explicit fallback)."""
+    import numpy as np
+
+    from deduputil_spark.functions.hashes import cdc_cuts_fast, cdc_cuts_ref
+
+    rng = np.random.default_rng(9)
+    data = bytes(rng.integers(0, 256, 20000, dtype=np.uint8))
+    for bs in (3000, 5000):
+        fast = cdc_cuts_fast(data, block_size=bs, min_size=256, max_size=4096)
+        ref = cdc_cuts_ref(data, block_size=bs, min_size=256, max_size=4096)
+        assert fast == ref, (bs, fast[:5], ref[:5])
+
+
+def test_config_rejects_nonpow2_block_size():
+    import pytest as _pytest
+
+    from deduputil_spark.config import DedupConfig
+
+    with _pytest.raises(ValueError):
+        DedupConfig(block_size=3000)
+    with _pytest.raises(ValueError):
+        DedupConfig(block_size=131072)
+    DedupConfig(block_size=1024)  # fine

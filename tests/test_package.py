@@ -83,3 +83,40 @@ def test_remove_then_extract(spark, pkg, transcripts):
     n = blocks.count()
     mm = blocks.agg(F.min("bid"), F.max("bid")).collect()[0]
     assert (mm[0], mm[1]) == (0, n - 1)
+
+
+def test_append_refcounts_and_manifest_consistent(spark, transcripts, tmp_path_factory):
+    """After append, per-block refcounts and manifest byte totals must equal a
+    from-scratch package over the same corpus (the reference's append path
+    re-counts every reuse — dedup.c:908-1077)."""
+    d_inc = str(tmp_path_factory.mktemp("pkg_incremental"))
+    d_all = str(tmp_path_factory.mktemp("pkg_scratch"))
+    ids = sorted(r["conv_id"] for r in transcripts.select("conv_id").distinct().collect())
+    half = set(ids[: len(ids) // 2])
+    first = transcripts.filter(F.col("conv_id").isin(half))
+    create_package(spark, first, d_inc, CFG)
+    append_package(spark, transcripts, d_inc, CFG)
+    create_package(spark, transcripts, d_all, CFG)
+    inc, scratch = open_package(spark, d_inc), open_package(spark, d_all)
+    rc_inc = sorted((r["md5"], r["refcount"]) for r in inc["blocks"].select("md5", "refcount").collect())
+    rc_all = sorted((r["md5"], r["refcount"]) for r in scratch["blocks"].select("md5", "refcount").collect())
+    assert rc_inc == rc_all
+    mi = inc["manifest"].collect()[0]
+    ma = scratch["manifest"].collect()[0]
+    for fld in ("block_num", "file_num", "total_bytes", "stored_bytes"):
+        assert mi[fld] == ma[fld], (fld, mi[fld], ma[fld])
+
+
+def test_remove_manifest_totals_refresh(spark, transcripts, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pkg_rm_manifest"))
+    create_package(spark, transcripts, d, CFG)
+    before = open_package(spark, d)["manifest"].collect()[0]
+    victims = transcripts.select("conv_id").distinct().limit(3)
+    remove_from_package(spark, victims, d)
+    pkg = open_package(spark, d)
+    after = pkg["manifest"].collect()[0]
+    assert after["file_num"] == before["file_num"] - 3
+    st = package_stats(spark, d)
+    assert after["total_bytes"] == st.total_bytes
+    assert after["stored_bytes"] == st.unique_bytes
+    assert after["block_num"] == st.unique_blocks
