@@ -26,7 +26,9 @@ class DedupConfig:
     block_win_size: int = 48        # CDC rolling window (/root/reference/src/dedup.h:51)
     cdc_r: int = 13                 # cut when hash(win) % D == r (/root/reference/src/dedup.h:112)
     chunk_algo: str = "cdc"         # "fsp" | "cdc"  (reference -C flag)
-    cut_hash: str = "adler"         # "adler" | "rabin" | "elf" (reference -f flag; adler = default rolling)
+    cut_hash: str = "adler"         # reference -f flag; adler = default rolling hash.
+    # full CDC_CHUNK_HASHFUNC family (/root/reference/src/dedup.c:73-115):
+    # adler | rabin | simple | rs | js | pjw | elf | bkdr | sdbm | djb | ap | crc
 
     # --- shingling / signatures (similarity stage) ---
     shingle_k: int = 5              # k-gram word shingles
@@ -51,7 +53,9 @@ class DedupConfig:
             )
         if self.chunk_algo not in ("fsp", "cdc"):
             raise ValueError(f"unknown chunk_algo {self.chunk_algo!r}")
-        if self.cut_hash not in ("adler", "rabin", "elf"):
+        if self.cut_hash not in (
+            "adler", "rabin", "simple", "rs", "js", "pjw", "elf", "bkdr", "sdbm", "djb", "ap", "crc"
+        ):
             raise ValueError(f"unknown cut_hash {self.cut_hash!r}")
         # the vectorized adler cut test reduces adler32(win) % block_size to a
         # windowed byte-sum residue, which is exact only when block_size

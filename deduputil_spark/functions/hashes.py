@@ -107,7 +107,16 @@ def _get_rabin_tables():
 def rabin_hash32(data: bytes) -> int:
     """rabinhash32 with poly=1 over `data` (reference rabin_hash semantics,
     /root/reference/src/rabinhash32.c:85-94, minus the strlen truncation —
-    callers must pre-truncate at NUL to match C exactly)."""
+    callers must pre-truncate at NUL to match C exactly).
+
+    DOCUMENTED DIVERGENCE from the compiled binary: the C initialize_tables()
+    (rabinhash32.c:10-49) XORs into its static tables on EVERY rabinhash32()
+    call without zeroing, so the binary's tables toggle real/zero on
+    alternating calls — per-window hashes depend on global call parity (a
+    reference bug; also why dedup.c:441 calls rabin "very bad" — it rebuilds
+    tables per window).  We implement the corrected single-initialization
+    semantics; tests/test_cut_hash_golden.py golden-matches the binary by
+    emulating the toggle explicitly."""
     t32, t40, t48, t56 = _get_rabin_tables()
     a = np.frombuffer(data, dtype=np.uint8)
     w = np.uint64(0)
@@ -193,6 +202,229 @@ def elf_window_hashes(data: bytes, win: int = BLOCK_WIN) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Remaining CDC cut-hash family (/root/reference/src/hash.c:5-182, selectable
+# via -f through CDC_CHUNK_HASHFUNC, /root/reference/src/dedup.c:73-115).
+#
+# C semantics carried over exactly:
+# - `char *str` functions see SIGNED chars (bytes >= 0x80 add negative,
+#   wrapping in uint32); simple_hash alone casts to unsigned char, and
+#   CRC_hash reads unsigned little-endian uint16 words.
+# - every function stops at the first NUL (strlen) — scalar versions take
+#   NUL-pre-truncated bytes, the cut walks do the truncation.
+# - all (except CRC) return `hash & 0x7FFFFFFF`.
+# ---------------------------------------------------------------------------
+
+_U32_64 = np.uint64(U32)
+_M31_64 = np.uint64(0x7FFFFFFF)
+
+# RS_hash's evolving multiplier a_k = 63689 * 378551^k mod 2^32
+_RS_A = [63689]
+for _ in range(BLOCK_WIN):
+    _RS_A.append((_RS_A[-1] * 378551) & U32)
+
+
+def simple_hash(data: bytes) -> int:
+    """simple_hash (hash.c:5-14) — the one UNSIGNED-char function."""
+    h = 0
+    for b in data:
+        h = (31 * h + b) & U32
+    return h & 0x7FFFFFFF
+
+
+def rs_hash(data: bytes) -> int:
+    while len(_RS_A) < len(data):
+        _RS_A.append((_RS_A[-1] * 378551) & U32)
+    h = 0
+    for k, c in enumerate(np.frombuffer(data, dtype=np.int8)):
+        h = (h * _RS_A[k] + int(c)) & U32
+    return h & 0x7FFFFFFF
+
+
+def js_hash(data: bytes) -> int:
+    h = 1315423911
+    for c in np.frombuffer(data, dtype=np.int8):
+        h = (h ^ ((h << 5) + int(c) + (h >> 2))) & U32
+    return h & 0x7FFFFFFF
+
+
+def pjw_hash(data: bytes) -> int:
+    """PJW_hash (hash.c:44-66): like ELF but clears the WHOLE top nibble."""
+    h = 0
+    for c in np.frombuffer(data, dtype=np.int8):
+        h = ((h << 4) + int(c)) & U32
+        t = h & 0xF0000000
+        if t:
+            h = (h ^ (t >> 24)) & 0x0FFFFFFF
+    return h & 0x7FFFFFFF
+
+
+def bkdr_hash(data: bytes) -> int:
+    h = 0
+    for c in np.frombuffer(data, dtype=np.int8):
+        h = (h * 131 + int(c)) & U32
+    return h & 0x7FFFFFFF
+
+
+def sdbm_hash(data: bytes) -> int:
+    h = 0
+    for c in np.frombuffer(data, dtype=np.int8):
+        h = (int(c) + (h << 6) + (h << 16) - h) & U32
+    return h & 0x7FFFFFFF
+
+
+def djb_hash(data: bytes) -> int:
+    h = 5381
+    for c in np.frombuffer(data, dtype=np.int8):
+        h = (h + (h << 5) + int(c)) & U32
+    return h & 0x7FFFFFFF
+
+
+def ap_hash(data: bytes) -> int:
+    h = 0
+    for i, c in enumerate(np.frombuffer(data, dtype=np.int8)):
+        if (i & 1) == 0:
+            h = (h ^ ((h << 7) ^ int(c) ^ (h >> 3))) & U32
+        else:
+            h = (h ^ (~((h << 11) ^ int(c) ^ (h >> 5)))) & U32
+    return h & 0x7FFFFFFF
+
+
+def crc_hash(data: bytes) -> int:
+    """CRC_hash (hash.c:146-182): internet-checksum fold of LE uint16 words."""
+    s = 0
+    n = len(data)
+    for i in range(0, n - 1, 2):
+        s += data[i] | (data[i + 1] << 8)
+    if n & 1:
+        s += data[n - 1]
+    s = (s >> 16) + (s & 0xFFFF)
+    s += s >> 16
+    return (~s) & 0xFFFF
+
+
+def _signed_vals_u64(data: bytes) -> np.ndarray:
+    """Signed-char byte values as 32-bit two's-complement in uint64 lanes."""
+    return (np.frombuffer(data, dtype=np.int8).astype(np.int64) & U32).astype(np.uint64)
+
+
+def _window_recurrence(data: bytes, win: int, init: int, step, signed: bool = True) -> np.ndarray:
+    """Vectorize a byte recurrence across every window position.
+
+    `step(h, c, k) -> h'` over uint64 lanes; h is pre-masked to 32 bits on
+    entry to each step, so +,*,<<,&,|,^ (and >> on h) preserve uint32
+    semantics; the result is masked after each step."""
+    if signed:
+        a = _signed_vals_u64(data)
+    else:
+        a = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(a) - win + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    h = np.full(n, init, dtype=np.uint64)
+    for k in range(win):
+        h = step(h, a[k : k + n], k) & _U32_64
+    return h & _M31_64
+
+
+def simple_window_hashes(data: bytes, win: int = BLOCK_WIN) -> np.ndarray:
+    return _window_recurrence(data, win, 0, lambda h, c, k: h * np.uint64(31) + c, signed=False)
+
+
+def rs_window_hashes(data: bytes, win: int = BLOCK_WIN) -> np.ndarray:
+    return _window_recurrence(data, win, 0, lambda h, c, k: h * np.uint64(_RS_A[k]) + c)
+
+
+def js_window_hashes(data: bytes, win: int = BLOCK_WIN) -> np.ndarray:
+    return _window_recurrence(
+        data, win, 1315423911, lambda h, c, k: h ^ ((h << np.uint64(5)) + c + (h >> np.uint64(2)))
+    )
+
+
+def _pjw_step(h, c, k):
+    h = ((h << np.uint64(4)) + c) & _U32_64
+    t = h & np.uint64(0xF0000000)
+    return np.where(t != 0, (h ^ (t >> np.uint64(24))) & np.uint64(0x0FFFFFFF), h)
+
+
+def pjw_window_hashes(data: bytes, win: int = BLOCK_WIN) -> np.ndarray:
+    return _window_recurrence(data, win, 0, _pjw_step)
+
+
+def bkdr_window_hashes(data: bytes, win: int = BLOCK_WIN) -> np.ndarray:
+    return _window_recurrence(data, win, 0, lambda h, c, k: h * np.uint64(131) + c)
+
+
+def sdbm_window_hashes(data: bytes, win: int = BLOCK_WIN) -> np.ndarray:
+    return _window_recurrence(
+        data, win, 0, lambda h, c, k: c + (h << np.uint64(6)) + (h << np.uint64(16)) - h
+    )
+
+
+def djb_window_hashes(data: bytes, win: int = BLOCK_WIN) -> np.ndarray:
+    return _window_recurrence(data, win, 5381, lambda h, c, k: h + (h << np.uint64(5)) + c)
+
+
+def _ap_step(h, c, k):
+    if (k & 1) == 0:
+        return h ^ ((h << np.uint64(7)) ^ c ^ (h >> np.uint64(3)))
+    return h ^ (~((h << np.uint64(11)) ^ c ^ (h >> np.uint64(5))))
+
+
+def ap_window_hashes(data: bytes, win: int = BLOCK_WIN) -> np.ndarray:
+    return _window_recurrence(data, win, 0, _ap_step)
+
+
+def crc_window_hashes(data: bytes, win: int = BLOCK_WIN) -> np.ndarray:
+    """CRC_hash of every window, via parity-split cumulative byte sums (the
+    LE word layout means low bytes sit at even in-window offsets)."""
+    assert win % 2 == 0, "odd windows would leave a trailing odd byte"
+    a = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    n = len(a) - win + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    even_mask = np.arange(len(a)) % 2 == 0
+    ce = np.concatenate(([0], np.cumsum(np.where(even_mask, a, 0))))
+    ct = np.concatenate(([0], np.cumsum(a)))
+    idx = np.arange(n)
+    even_abs = ce[idx + win] - ce[idx]          # bytes at even ABSOLUTE positions
+    total = ct[idx + win] - ct[idx]
+    low = np.where(idx % 2 == 0, even_abs, total - even_abs)
+    s = low + ((total - low) << 8)
+    s = (s >> 16) + (s & 0xFFFF)
+    s += s >> 16
+    return ((~s) & 0xFFFF).astype(np.uint64)
+
+
+CUT_HASH_SCALAR = {
+    "rabin": rabin_hash32,
+    "elf": elf_hash,
+    "simple": simple_hash,
+    "rs": rs_hash,
+    "js": js_hash,
+    "pjw": pjw_hash,
+    "bkdr": bkdr_hash,
+    "sdbm": sdbm_hash,
+    "djb": djb_hash,
+    "ap": ap_hash,
+    "crc": crc_hash,
+}
+
+CUT_HASH_WINDOW = {
+    "rabin": rabin_window_hashes,
+    "elf": elf_window_hashes,
+    "simple": simple_window_hashes,
+    "rs": rs_window_hashes,
+    "js": js_window_hashes,
+    "pjw": pjw_window_hashes,
+    "bkdr": bkdr_window_hashes,
+    "sdbm": sdbm_window_hashes,
+    "djb": djb_window_hashes,
+    "ap": ap_window_hashes,
+    "crc": crc_window_hashes,
+}
+
+
+# ---------------------------------------------------------------------------
 # CDC cut walks
 # ---------------------------------------------------------------------------
 
@@ -213,6 +445,7 @@ def cdc_cuts_ref(
     """
     n = len(data)
     signed = np.frombuffer(data, dtype=np.int8)
+    scalar_fn = cut_hash if callable(cut_hash) else CUT_HASH_SCALAR.get(cut_hash)
     cuts: list[int] = []
     p = 0  # block start
     hkey = 0
@@ -231,7 +464,7 @@ def cdc_cuts_ref(
             else:  # non-rolling path (g_rolling_hash == 0): full rehash each window
                 stop = data.find(b"\x00", h, h + win)  # C strlen truncation
                 end = h + win if stop == -1 else stop
-                hkey = rabin_hash32(data[h:end]) if cut_hash == "rabin" else elf_hash(data[h:end])
+                hkey = scalar_fn(data[h:end])
             if hkey % block_size == cdc_r:
                 cuts.append(h + win)
                 p = h + win
@@ -274,11 +507,11 @@ def cdc_cuts_fast(
         wsum = c[win:] - c[:-win]  # wsum[h] = sum(data[h:h+win])
         match = (np.mod(wsum, block_size) == cdc_r)
     else:
-        hk = rabin_window_hashes(data, win) if cut_hash == "rabin" else elf_window_hashes(data, win)
+        hk = CUT_HASH_WINDOW[cut_hash](data, win)
         # NUL-containing windows hash differently (strlen); handle lazily below
         match = (hk % np.uint64(block_size)) == np.uint64(cdc_r)
         if b"\x00" in data:
-            scalar = rabin_hash32 if cut_hash == "rabin" else elf_hash
+            scalar = CUT_HASH_SCALAR[cut_hash]
             zero_pos = np.frombuffer(data, dtype=np.uint8) == 0
             zc = np.concatenate(([0], np.cumsum(zero_pos)))
             has_nul = (zc[win:] - zc[:-win]) > 0

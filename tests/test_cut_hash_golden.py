@@ -1,0 +1,134 @@
+"""Golden validation of the full CDC cut-hash family against the COMPILED
+reference binary (`dedup -c -C CDC -f <name>` — /root/reference/src/dedup.c:73-115,
+hash functions /root/reference/src/hash.c:5-182).
+
+For every selectable hash function the unique/duplicated block counts of the
+reference package must equal the counts our `cdc_cuts_ref` chunking produces
+on the same files.  Skipped when the binary is absent and cannot be rebuilt.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import re
+import shutil
+import subprocess
+
+import pytest
+
+from deduputil_spark.functions.hashes import cdc_cuts_ref
+
+BIN = "/tmp/refbuild/dedup"
+
+REF_NAME = {
+    "simple": "simple_hash",
+    "rs": "RS_hash",
+    "js": "JS_hash",
+    "pjw": "PJW_hash",
+    "elf": "ELF_hash",
+    "bkdr": "BKDR_hash",
+    "sdbm": "SDBM_hash",
+    "djb": "DJB_hash",
+    "ap": "AP_hash",
+    "crc": "CRC_hash",
+    "rabin": "rabin_hash",
+    "adler": "adler_hash",
+}
+
+
+def _build_binary() -> bool:
+    if os.path.exists(BIN):
+        return True
+    if shutil.which("gcc") is None:
+        return False
+    src = "/root/reference/src"
+    os.makedirs("/tmp/refbuild", exist_ok=True)
+    files = "dedup.c md5.c hash.c rabinhash32.c checksum.c libz.c listdb.c bloom.c hashdb.c bighashtable.c"
+    cmd = (
+        f"cd /tmp/refbuild && cp {src}/*.c {src}/*.h . && "
+        f"gcc -w -std=gnu89 -include string.h -o dedup {files} -lz"
+    )
+    return subprocess.run(cmd, shell=True, capture_output=True).returncode == 0
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("goldcorpus")
+    rng = random.Random(4242)
+    base = bytes(rng.randrange(1, 256) for _ in range(30000))  # NUL-free (C strings)
+    paths = []
+    for name, payload in [
+        ("f1.bin", base + base[:10000]),
+        ("f2.bin", base[5000:25000] + bytes(rng.randrange(1, 256) for _ in range(20000))),
+        # > 128 KB so the reference's buffer-refill path is exercised too
+        ("f3.txt", (" ".join(f"word{i % 500}" for i in range(20000))).encode()),
+    ]:
+        p = d / name
+        p.write_bytes(payload)
+        paths.append(str(p))
+    return paths
+
+
+def _ref_counts(pkg: str) -> tuple[int, int]:
+    out = subprocess.run([BIN, "-s", "-v", pkg], capture_output=True, text=True).stderr
+    uniq = int(re.search(r"block_num = (\d+)", out).group(1))
+    dup = int(re.search(r"duplicated block number: (\d+)", out).group(1))
+    return uniq, dup
+
+
+def _toggling_rabin():
+    """The BINARY's rabin: initialize_tables() XORs into its static tables on
+    every call without zeroing (rabinhash32.c:10-49), so odd-numbered calls
+    see real tables and even-numbered calls see all-zero tables (the hash
+    degenerates to the last 4 bytes big-endian).  Emulate that call-parity
+    state across the whole multi-file run to golden-match the binary."""
+    from deduputil_spark.functions.hashes import rabin_hash32 as real
+
+    state = {"n": 0}
+
+    def zero_table_rabin(b: bytes) -> int:
+        w = 0
+        starter = len(b) % 4
+        for i in range(starter):
+            w = ((w << 8) ^ b[i]) & 0xFFFFFFFF
+        s = starter
+        while s < len(b):
+            w = ((b[s] << 24) ^ (b[s + 1] << 16) ^ (b[s + 2] << 8) ^ b[s + 3]) & 0xFFFFFFFF
+            s += 4
+        return w
+
+    def fn(b: bytes) -> int:
+        state["n"] += 1
+        return real(b) if state["n"] % 2 == 1 else zero_table_rabin(b)
+
+    return fn
+
+
+@pytest.mark.parametrize("fn", sorted(REF_NAME))
+def test_cut_hash_family_matches_compiled_reference(fn, corpus, tmp_path):
+    if not _build_binary():
+        pytest.skip("reference binary unavailable and gcc build failed")
+    pkg = str(tmp_path / f"{fn}.ded")
+    r = subprocess.run(
+        [BIN, "-c", "-C", "CDC", "-f", REF_NAME[fn], pkg, *corpus], capture_output=True
+    )
+    assert r.returncode == 0, r.stderr[-300:]
+    want_uniq, want_dup = _ref_counts(pkg)
+    cut_fn = _toggling_rabin() if fn == "rabin" else fn  # shared parity across files
+    chunks = []
+    for p in corpus:
+        data = open(p, "rb").read()
+        cuts = cdc_cuts_ref(data, cut_hash=cut_fn)
+        prev = 0
+        for c in cuts:
+            chunks.append(data[prev:c])
+            prev = c
+    from collections import Counter
+
+    counts = Counter(chunks)
+    uniq = len(counts)
+    # reference dup_blocks_nr = unique blocks referenced MORE than once
+    # (dedup.c:1366-1372), not total minus unique
+    dup = sum(1 for c in counts.values() if c > 1)
+    assert (uniq, dup) == (want_uniq, want_dup), (fn, uniq, dup, want_uniq, want_dup)

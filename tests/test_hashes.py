@@ -116,3 +116,30 @@ def test_config_rejects_nonpow2_block_size():
     with _pytest.raises(ValueError):
         DedupConfig(block_size=131072)
     DedupConfig(block_size=1024)  # fine
+
+
+@pytest.mark.parametrize(
+    "fn", ["simple", "rs", "js", "pjw", "elf", "bkdr", "sdbm", "djb", "ap", "crc", "rabin"]
+)
+def test_cut_hash_window_matches_scalar(fn):
+    from deduputil_spark.functions.hashes import CUT_HASH_SCALAR, CUT_HASH_WINDOW
+
+    data = bytes(rng.randrange(1, 256) for _ in range(500))
+    hw = CUT_HASH_WINDOW[fn](data, 48)
+    sf = CUT_HASH_SCALAR[fn]
+    for i in range(0, len(data) - 48 + 1, 13):
+        assert int(hw[i]) == sf(data[i : i + 48]), (fn, i)
+
+
+@pytest.mark.parametrize(
+    "fn", ["simple", "rs", "js", "pjw", "bkdr", "sdbm", "djb", "ap", "crc"]
+)
+def test_cdc_new_cut_hashes_fast_matches_ref(fn):
+    data = bytes(rng.randrange(256) for _ in range(25000))
+    assert cdc_cuts_fast(data, cut_hash=fn) == cdc_cuts_ref(data, cut_hash=fn)
+    data2 = (
+        bytes(rng.randrange(256) for _ in range(8000))
+        + b"\x00"
+        + bytes(rng.randrange(256) for _ in range(8000))
+    )
+    assert cdc_cuts_fast(data2, cut_hash=fn) == cdc_cuts_ref(data2, cut_hash=fn)
