@@ -25,7 +25,7 @@ class DedupConfig:
     block_max_size: int = 32768     # CDC forced cut (/root/reference/src/dedup.c:490)
     block_win_size: int = 48        # CDC rolling window (/root/reference/src/dedup.h:51)
     cdc_r: int = 13                 # cut when hash(win) % D == r (/root/reference/src/dedup.h:112)
-    chunk_algo: str = "cdc"         # "fsp" | "cdc"  (reference -C flag)
+    chunk_algo: str = "cdc"         # "fsp" | "cdc" | "sb"  (reference -C flag)
     cut_hash: str = "adler"         # reference -f flag; adler = default rolling hash.
     # full CDC_CHUNK_HASHFUNC family (/root/reference/src/dedup.c:73-115):
     # adler | rabin | simple | rs | js | pjw | elf | bkdr | sdbm | djb | ap | crc
@@ -51,7 +51,7 @@ class DedupConfig:
             raise ValueError(
                 f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) must equal num_perm ({self.num_perm})"
             )
-        if self.chunk_algo not in ("fsp", "cdc"):
+        if self.chunk_algo not in ("fsp", "cdc", "sb"):
             raise ValueError(f"unknown chunk_algo {self.chunk_algo!r}")
         if self.cut_hash not in (
             "adler", "rabin", "simple", "rs", "js", "pjw", "elf", "bkdr", "sdbm", "djb", "ap", "crc"

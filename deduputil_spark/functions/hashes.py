@@ -540,6 +540,70 @@ def cdc_cuts_fast(
     return cuts
 
 
+class SBState:
+    """Sliding-block dedup state — the reference's cross-file g_sb_htable_crc
+    (weak adler of stored fixed blocks) + the md5 block-store table."""
+
+    __slots__ = ("crc", "md5s")
+
+    def __init__(self) -> None:
+        self.crc: set[int] = set()
+        self.md5s: set[bytes] = set()
+
+
+def sb_spans(
+    data: bytes, block_size: int = 4096, state: SBState | None = None
+) -> tuple[list[tuple[int, int]], int]:
+    """C3 — sliding-block chunking, transliteration of `file_chunk_sb`
+    (/root/reference/src/dedup.c:551-711, -z off), stream view.
+
+    Walk: adler of the block_size window at `head` (fresh when no slide is
+    pending, O(1) roll otherwise).  Weak hit → md5 confirm against the block
+    store; confirmed → emit the pending pre-fragment (if any) then the reused
+    fixed block, jump a full block.  Miss → slide one byte; a slide that
+    reaches block_size is emitted as a NEW fixed block and its adler+md5
+    check in.  Returns (contiguous block spans, tail start) — the tail is the
+    pending slide fragment plus the unprocessed remainder (dedup.c:703-708).
+
+    `state` persists across calls to reproduce the reference's cross-file
+    tables (scan-order-dependent; the Spark operator uses per-document state
+    for order-independent parallel semantics — see chunk.py)."""
+    import hashlib as _hl
+
+    st = state if state is not None else SBState()
+    n = len(data)
+    signed = np.frombuffer(data, dtype=np.int8)
+    spans: list[tuple[int, int]] = []
+    head = 0
+    slide_start = 0
+    hkey = 0
+    while head + block_size <= n:
+        if head == slide_start:  # slide_sz == 0 -> fresh checksum
+            hkey = adler32_checksum(data[head : head + block_size])
+        else:
+            hkey = adler32_rolling(
+                hkey, block_size, int(signed[head - 1]), int(signed[head + block_size - 1])
+            )
+        if hkey in st.crc:
+            m = _hl.md5(data[head : head + block_size]).digest()
+            if m in st.md5s:
+                if head > slide_start:  # pre-fragment
+                    st.md5s.add(_hl.md5(data[slide_start:head]).digest())
+                    spans.append((slide_start, head))
+                spans.append((head, head + block_size))
+                head += block_size
+                slide_start = head
+                continue
+        head += 1
+        if head - slide_start == block_size:  # slide filled a whole block
+            blk = data[slide_start:head]
+            st.crc.add(adler32_checksum(blk))
+            st.md5s.add(_hl.md5(blk).digest())
+            spans.append((slide_start, head))
+            slide_start = head
+    return spans, slide_start
+
+
 def fsp_cuts(n: int, block_size: int = 4096) -> list[int]:
     """Fixed-size partition ends; tail = n % block_size raw bytes
     (/root/reference/src/dedup.c:716-764)."""

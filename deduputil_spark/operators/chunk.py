@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from deduputil_spark.config import DedupConfig
-from deduputil_spark.functions.hashes import cdc_cuts_fast, fsp_cuts
+from deduputil_spark.functions.hashes import cdc_cuts_fast, fsp_cuts, sb_spans
 
 if TYPE_CHECKING:
     pass
@@ -65,6 +65,15 @@ def _adler32_np(data: bytes) -> int:
 def _chunk_one(cid: str, data: bytes, cfg: DedupConfig) -> Iterator[tuple]:
     if cfg.chunk_algo == "fsp":
         cuts = fsp_cuts(len(data), cfg.block_size)
+    elif cfg.chunk_algo == "sb":
+        # per-DOCUMENT state: the reference's SB tables are cross-file and
+        # scan-order-dependent (dedup.c:551-711), which no parallel engine can
+        # reproduce deterministically; per-doc state keeps boundaries a pure
+        # function of the document (cross-doc dedup still happens exactly in
+        # the (md5, bytes) block store).  sb_spans(state=...) carries the
+        # sequential semantics for the golden oracle.
+        spans, _tail_start = sb_spans(data, cfg.block_size)
+        cuts = [e for _, e in spans]
     else:
         cuts = cdc_cuts_fast(
             data,

@@ -132,3 +132,29 @@ def test_cut_hash_family_matches_compiled_reference(fn, corpus, tmp_path):
     # (dedup.c:1366-1372), not total minus unique
     dup = sum(1 for c in counts.values() if c > 1)
     assert (uniq, dup) == (want_uniq, want_dup), (fn, uniq, dup, want_uniq, want_dup)
+
+
+def test_sb_chunking_matches_compiled_reference(corpus, tmp_path):
+    """SB sliding-block mode (-C SB, file_chunk_sb dedup.c:551-711): the
+    sequential shared-state transliteration must reproduce the binary's
+    unique/duplicated block counts on the same files in the same order."""
+    from collections import Counter
+
+    from deduputil_spark.functions.hashes import SBState, sb_spans
+
+    if not _build_binary():
+        pytest.skip("reference binary unavailable and gcc build failed")
+    pkg = str(tmp_path / "sb.ded")
+    r = subprocess.run([BIN, "-c", "-C", "SB", pkg, *corpus], capture_output=True)
+    assert r.returncode == 0, r.stderr[-300:]
+    want_uniq, want_dup = _ref_counts(pkg)
+    st = SBState()
+    chunks = []
+    for p in corpus:
+        data = open(p, "rb").read()
+        spans, _tail = sb_spans(data, state=st)
+        chunks.extend(data[s:e] for s, e in spans)
+    counts = Counter(chunks)
+    uniq = len(counts)
+    dup = sum(1 for c in counts.values() if c > 1)
+    assert (uniq, dup) == (want_uniq, want_dup), (uniq, dup, want_uniq, want_dup)

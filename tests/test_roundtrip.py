@@ -135,3 +135,42 @@ def test_fsp_sql_matches_pandas_fsp_on_ascii(spark, pipeline):
         .select("conv_id", "chunk_idx", F.md5(F.col("chunk_text").cast("binary")).alias("h"))
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_sb_chunk_algo_roundtrip(spark, transcripts):
+    """chunk_algo='sb' (C3 as a package-creation mode): chunks tile each doc,
+    round-trip is exact, and a self-repetitive doc actually dedups."""
+    from deduputil_spark.config import DedupConfig
+    from deduputil_spark.operators.assemble import assemble_documents
+    from deduputil_spark.operators.chunk import chunk_documents
+    from deduputil_spark.operators.dedup import build_block_store, build_file_meta
+    from deduputil_spark.operators.reconstruct import reconstruct_documents, roundtrip_mismatches
+
+    cfg = DedupConfig(chunk_algo="sb")
+    docs = assemble_documents(transcripts)
+    chunks = chunk_documents(docs, cfg)
+    blocks = build_block_store(chunks)
+    meta = build_file_meta(chunks, blocks)
+    recon = reconstruct_documents(meta, blocks)
+    assert roundtrip_mismatches(transcripts, recon).count() == 0
+
+
+def test_sb_spans_self_dedup():
+    """A doc of X+X: the second copy confirms against blocks stored while
+    scanning the first -> duplicate fixed blocks, per-doc state only."""
+    import random
+
+    from deduputil_spark.functions.hashes import sb_spans
+
+    rng = random.Random(7)
+    base = bytes(rng.randrange(1, 256) for _ in range(4096 * 3))
+    data = base + base
+    spans, tail_start = sb_spans(data)
+    chunks = [data[s:e] for s, e in spans]
+    assert len(chunks) > len(set(chunks)), "repeat must produce duplicate blocks"
+    # spans tile [0, tail_start) contiguously
+    pos = 0
+    for s, e in spans:
+        assert s == pos
+        pos = e
+    assert pos == tail_start
