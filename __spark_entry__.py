@@ -293,6 +293,100 @@ WHERE i.inter * 10 >= (za.n + zb.n - i.inter) * 6
 """
 
 
+def q_bsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — reference bsim weighted block-frequency similarity
+    (/root/reference/src/bsim.c:122-294), integer-exact components over FSP
+    chunk md5 multisets on the LSH candidate pairs."""
+    from deduputil_spark.operators.chunk import chunk_fsp_sql
+    from deduputil_spark.operators.verify import bsim_components
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"), F.col("text").alias("doc_text")
+    )
+    chunks = chunk_fsp_sql(docs, FSP_BS)
+    pairs = q_lsh_candidates(spark, sf_dir).select(
+        F.col("doc_a").alias("conv_a"), F.col("doc_b").alias("conv_b")
+    )
+    return bsim_components(pairs, chunks).select(
+        F.col("conv_a").alias("doc_a"), F.col("conv_b").alias("doc_b"), "w_inter", "wsum"
+    )
+
+
+SQL_BSIM_PAIRS = f"""
+WITH ch AS ({SQL_FSP_CHUNKS}),
+cand AS ({SQL_LSH_CANDIDATES}),
+freq AS (SELECT doc_id, chunk_md5, count(*) AS n, min(chunk_len) AS len FROM ch GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(n * len) AS BIGINT) AS total FROM freq GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(sum(least(fa.n, fb.n) * fa.len) AS BIGINT) AS w_inter
+  FROM cand c
+  JOIN freq fa ON fa.doc_id = c.doc_a
+  JOIN freq fb ON fb.doc_id = c.doc_b AND fb.chunk_md5 = fa.chunk_md5
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(coalesce(i.w_inter, 0) AS BIGINT) AS w_inter,
+       CAST(ta.total + tb.total AS BIGINT) AS wsum
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN tot ta ON ta.doc_id = c.doc_a
+JOIN tot tb ON tb.doc_id = c.doc_b
+"""
+
+
+def q_lcs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — reference LCS ordered similarity (/root/reference/src/bsim.c:177-275)
+    over FSP chunk-md5 sequences on the LSH candidate pairs, integer-exact.
+
+    FSP blocks are uniformly {FSP_BS} chars, so lcs_bytes = {FSP_BS}·LCS_len is
+    backtrack-path-independent — which makes an exact SQL oracle possible via a
+    longest-chain recursive CTE (the general weighted case is pytest-gated
+    against the scalar transliteration instead)."""
+    from deduputil_spark.operators.chunk import chunk_fsp_sql
+    from deduputil_spark.operators.verify import lcs_verify_components, pair_chunk_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"), F.col("text").alias("doc_text")
+    )
+    chunks = chunk_fsp_sql(docs, FSP_BS).withColumnRenamed("chunk_text", "chunk_bytes")
+    pairs = q_lsh_candidates(spark, sf_dir).select(
+        F.col("doc_a").alias("conv_a"), F.col("doc_b").alias("conv_b")
+    )
+    with_seqs = pair_chunk_sequences(pairs, chunks)
+    return lcs_verify_components(with_seqs).select(
+        F.col("conv_a").alias("doc_a"), F.col("conv_b").alias("doc_b"), "lcs_bytes", "union_bytes"
+    )
+
+
+SQL_LCS_PAIRS = f"""
+WITH RECURSIVE
+ch AS ({SQL_FSP_CHUNKS}),
+cand AS ({SQL_LSH_CANDIDATES}),
+n_blocks AS (SELECT doc_id, count(*) AS n FROM ch GROUP BY 1),
+matches AS (
+  SELECT c.doc_a, c.doc_b, a.chunk_idx AS i, b.chunk_idx AS j
+  FROM cand c
+  JOIN ch a ON a.doc_id = c.doc_a
+  JOIN ch b ON b.doc_id = c.doc_b AND b.chunk_md5 = a.chunk_md5
+),
+chain(doc_a, doc_b, i, j, l) AS (
+  SELECT doc_a, doc_b, i, j, 1 FROM matches
+  UNION
+  SELECT m.doc_a, m.doc_b, m.i, m.j, c.l + 1
+  FROM matches m
+  JOIN chain c ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b AND m.i > c.i AND m.j > c.j
+),
+lcs AS (SELECT doc_a, doc_b, max(l) AS lcs_len FROM chain GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b,
+       CAST(coalesce(l.lcs_len, 0) * {FSP_BS} AS BIGINT) AS lcs_bytes,
+       CAST((na.n + nb.n) * {FSP_BS} AS BIGINT) AS union_bytes
+FROM cand c
+JOIN n_blocks na ON na.doc_id = c.doc_a
+JOIN n_blocks nb ON nb.doc_id = c.doc_b
+LEFT JOIN lcs l ON l.doc_a = c.doc_a AND l.doc_b = c.doc_b
+"""
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deduputil_spark.operators.cluster import connected_components
 
@@ -795,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": q_minhash_bands,
         "lsh_candidates": q_lsh_candidates,
         "verified_pairs": q_verified_pairs,
+        "bsim_pairs": q_bsim_pairs,
+        "lcs_pairs": q_lcs_pairs,
         "dup_clusters": q_dup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
@@ -825,6 +921,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_bands": SQL_MINHASH_BANDS,
         "lsh_candidates": SQL_LSH_CANDIDATES,
         "verified_pairs": SQL_VERIFIED_PAIRS,
+        "bsim_pairs": SQL_BSIM_PAIRS,
+        "lcs_pairs": SQL_LCS_PAIRS,
         "dup_clusters": SQL_DUP_CLUSTERS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "simhash": SQL_SIMHASH,

@@ -150,12 +150,10 @@ def _jaccard_on_sets(pairs: DataFrame, pruned: DataFrame, threshold: float | Non
     return out
 
 
-def bsim_similarity(pairs: DataFrame, chunks: DataFrame) -> DataFrame:
-    """Reference bsim J1: per-pair weighted multiset similarity over chunk md5s.
-
-    chunk frequency tables per doc (md5 -> count, len), then
-    sim = 2·Σ len·min(n_a, n_b) / (Σ_a len·n_a + Σ_b len·n_b).
-    """
+def bsim_components(pairs: DataFrame, chunks: DataFrame) -> DataFrame:
+    """Reference bsim J1 as INTEGER-EXACT components per pair:
+    (w_inter = Σ len·min(n_a, n_b), wsum = Σ_a len·n_a + Σ_b len·n_b);
+    sim = 2·w_inter / wsum (/root/reference/src/bsim.c:277-294)."""
     freq = (
         chunks.filter(~F.col("is_tail"))
         .groupBy("conv_id", "md5")
@@ -178,8 +176,22 @@ def bsim_similarity(pairs: DataFrame, chunks: DataFrame) -> DataFrame:
         .select(
             "conv_a",
             "conv_b",
-            (F.lit(2) * F.col("w_inter") / (F.col("ta") + F.col("tb"))).alias("bsim"),
+            F.col("w_inter").cast("long").alias("w_inter"),
+            (F.col("ta") + F.col("tb")).cast("long").alias("wsum"),
         )
+    )
+
+
+def bsim_similarity(pairs: DataFrame, chunks: DataFrame) -> DataFrame:
+    """Reference bsim J1: per-pair weighted multiset similarity over chunk md5s.
+
+    chunk frequency tables per doc (md5 -> count, len), then
+    sim = 2·Σ len·min(n_a, n_b) / (Σ_a len·n_a + Σ_b len·n_b).
+    """
+    return bsim_components(pairs, chunks).select(
+        "conv_a",
+        "conv_b",
+        (F.lit(2) * F.col("w_inter") / F.col("wsum")).alias("bsim"),
     )
 
 
@@ -196,8 +208,16 @@ _DIAG, _UP, _LEFT = 2, 1, 0
 
 
 def _lcs_weighted(seq_a: np.ndarray, len_a: np.ndarray, seq_b: np.ndarray, len_b: np.ndarray) -> float:
+    lcs_bytes, sim_union = _lcs_components(seq_a, len_a, seq_b, len_b)
+    return (2.0 * lcs_bytes / sim_union) if sim_union else 0.0
+
+
+def _lcs_components(
+    seq_a: np.ndarray, len_a: np.ndarray, seq_b: np.ndarray, len_b: np.ndarray
+) -> tuple[int, int]:
     """Exact transliteration of the reference LCS similarity
-    (/root/reference/src/bsim.c:177-275 + similarity_detect :284-294):
+    (/root/reference/src/bsim.c:177-275 + similarity_detect :284-294),
+    returning the INTEGER components (lcs_bytes, sim_union):
 
     1. unweighted LCS DP over the two chunk-hash sequences (match = +1),
        with the reference's tie-breaking (LEFT overrides UP overrides DIAG,
@@ -217,10 +237,8 @@ def _lcs_weighted(seq_a: np.ndarray, len_a: np.ndarray, seq_b: np.ndarray, len_b
     for s, l in zip(seq_b, len_b):
         lens.setdefault(s, int(l))
     sim_union = int(len_a.sum()) + int(len_b.sum())  # Σ len·(n1+n2) with len≡first-seen
-    if sim_union == 0:
-        return 0.0
-    if n == 0 or m == 0:
-        return 0.0
+    if sim_union == 0 or n == 0 or m == 0:
+        return 0, sim_union
     prev = np.zeros(m + 1, dtype=np.int32)
     R = np.empty((n + 1, m + 1), dtype=np.int8)
     R[:, 0] = _UP
@@ -251,7 +269,39 @@ def _lcs_weighted(seq_a: np.ndarray, len_a: np.ndarray, seq_b: np.ndarray, len_b
             ii -= 1
         else:
             jj -= 1
-    return 2.0 * lcs_bytes / sim_union
+    return lcs_bytes, sim_union
+
+
+_LCS_COMPONENT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_a", T.StringType()),
+        T.StructField("conv_b", T.StringType()),
+        T.StructField("lcs_bytes", T.LongType()),
+        T.StructField("union_bytes", T.LongType()),
+    ]
+)
+
+
+def lcs_verify_components(pairs_with_seqs: DataFrame) -> DataFrame:
+    """Integer-exact J2: (lcs_bytes, union_bytes) per pair;
+    sim = 2·lcs_bytes / union_bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lb, ub = [], []
+            for _, row in pdf.iterrows():
+                sa = np.asarray(row["seq_a"], dtype=object)
+                sb = np.asarray(row["seq_b"], dtype=object)
+                la = np.asarray(row["lens_a"], dtype=np.int64)
+                lbn = np.asarray(row["lens_b"], dtype=np.int64)
+                x, y = _lcs_components(sa, la, sb, lbn)
+                lb.append(x)
+                ub.append(y)
+            yield pd.DataFrame(
+                {"conv_a": pdf["conv_a"], "conv_b": pdf["conv_b"], "lcs_bytes": lb, "union_bytes": ub}
+            )
+
+    return pairs_with_seqs.mapInPandas(run, schema=_LCS_COMPONENT_SCHEMA)
 
 
 def lcs_verify(pairs_with_seqs: DataFrame) -> DataFrame:
