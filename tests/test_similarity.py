@@ -232,3 +232,21 @@ def test_oph_signature_estimator_quality():
     assert len(s) == k and (s < MERSENNE_P).all()
     # empty doc convention matches kperm: all zeros
     assert (oph_signature(np.zeros(0, dtype=np.int64), k, edges) == 0).all()
+
+
+def test_star_cc_on_path_graph(spark):
+    """Small-star/large-star alternation: a 10k-node PATH graph (worst case
+    for label propagation, diameter ~ n) must converge in O(log n) rounds
+    with the same labels as union-find (everything -> the chain's min id)."""
+    from deduputil_spark.operators.cluster import _star_components
+
+    n = 10_000
+    ids = [f"v{i:05d}" for i in range(n)]
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "conv_a string, conv_b string"
+    )
+    labels_df, rounds = _star_components(pairs, max_iterations=40)
+    labels = {r["conv_id"]: r["cluster_id"] for r in labels_df.collect()}
+    assert len(labels) == n
+    assert set(labels.values()) == {ids[0]}, "one component rooted at the min id"
+    assert rounds <= 16, f"star alternation took {rounds} rounds on a 10k chain (want O(log n))"
