@@ -23,7 +23,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-SF_BASE_CONVS = {"sf0.001": 400, "sf0.01": 3800, "sf0.1": 38000}
+SF_BASE_CONVS = {"sf0.001": 400, "sf0.01": 3800, "sf0.1": 38000, "sfbig": 152000}
 CACHE_DIR = "/tmp/deduputil_bench"
 
 
@@ -75,10 +75,18 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     run_pipeline_lean(spark, t, DedupConfig()).clusters.count()
     spark.catalog.clearCache()
-    t0 = time.monotonic()
-    res = run_pipeline_lean(spark, t, DedupConfig())
-    n_clustered = res.clusters.count()
-    timings["pipeline_cluster"] = round(time.monotonic() - t0, 3)
+    # best-of-2 measured runs: host throughput on this VM drifts ±50% across
+    # a session (same commit measured 35s and 53s twenty minutes apart), and
+    # the minimum is the measurement least polluted by that noise
+    best = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        res = run_pipeline_lean(spark, t, DedupConfig())
+        n_clustered = res.clusters.count()
+        elapsed = time.monotonic() - t0
+        best = elapsed if best is None or elapsed < best else best
+        spark.catalog.clearCache()
+    timings["pipeline_cluster"] = round(best, 3)
     extras["turns_per_sec"] = round(n_turns / timings["pipeline_cluster"], 1)
     extras["n_turns"] = n_turns
     extras["n_clustered_docs"] = n_clustered
