@@ -250,3 +250,30 @@ def test_star_cc_on_path_graph(spark):
     assert len(labels) == n
     assert set(labels.values()) == {ids[0]}, "one component rooted at the min id"
     assert rounds <= 16, f"star alternation took {rounds} rounds on a 10k chain (want O(log n))"
+
+
+def test_lsh_band_parameter_frontier(spark, shingle_df):
+    """b×r sweep at num_perm=128: recall (vs brute-force J≥0.7 truth) and
+    candidate volume for (64,2), (32,4), (16,8).  The default (32,4) must sit
+    on the frontier: ≥0.99 recall with fewer candidates than (64,2)."""
+    truth = {
+        (r["conv_a"], r["conv_b"])
+        for r in brute_force_jaccard(shingle_df, CFG.jaccard_threshold).collect()
+    }
+    assert truth
+    stats = {}
+    for bands, rows in [(64, 2), (32, 4), (16, 8)]:
+        cfg = DedupConfig(lsh_bands=bands, lsh_rows=rows)
+        sigs = minhash_signatures(shingle_df, cfg, family="xxhash")
+        cands = {
+            (r["conv_a"], r["conv_b"])
+            for r in candidate_pairs(lsh_bands(sigs, cfg), cfg).collect()
+        }
+        recall = len(truth & cands) / len(truth)
+        stats[(bands, rows)] = (recall, len(cands))
+    rec_default, n_default = stats[(32, 4)]
+    rec_wide, n_wide = stats[(64, 2)]
+    assert rec_default >= 0.99, stats
+    # wider bands (fewer rows/band) always catch at least as much but cost more
+    assert n_default <= n_wide, stats
+    assert rec_wide >= rec_default - 1e-9, stats
