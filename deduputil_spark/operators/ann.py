@@ -135,13 +135,20 @@ def lsh_bucketed_topk(
     At cluster scale, corpus signatures are precomputed once per table and
     bucket-partitioned; the query join is then bucket-local (no full scan) and
     the candidate union is distinct-ed before the (expensive) scoring join."""
+    # all n_tables bucket ids in ONE projection per side (the plane-literal
+    # folds are the expensive expressions; computing them once per row keeps
+    # the plan a fraction of the per-table-rebuild size)
+    buckets = [
+        _srp_bucket_col(vec_col, srp_planes(n_planes, dim, table_seed(seed, t))).alias(f"b{t}")
+        for t in range(n_tables)
+    ]
+    qsig = queries.select(F.col(id_col).alias("query_id"), *buckets).persist()
+    nsig = emb.select(F.col(id_col).alias("neighbor_id"), *buckets).persist()
     cand = None
     for t in range(n_tables):
-        bucket = _srp_bucket_col(vec_col, srp_planes(n_planes, dim, table_seed(seed, t)))
-        qb = queries.select(F.col(id_col).alias("query_id"), bucket.alias("b"))
-        nb = emb.select(F.col(id_col).alias("neighbor_id"), bucket.alias("b"))
         p = (
-            qb.join(nb, "b")
+            qsig.select("query_id", F.col(f"b{t}").alias("b"))
+            .join(nsig.select("neighbor_id", F.col(f"b{t}").alias("b")), "b")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id")
         )
@@ -186,12 +193,17 @@ def srp_near_pairs(
     Recall vs `embedding_near_pairs` is governed by (1-(1-p^n_planes)^n_tables)
     with p = 1 - angle/π; the pytest gate measures it on the planted corpus.
     """
+    buckets = [
+        _srp_bucket_col(vec_col, srp_planes(n_planes, dim, table_seed(seed, t))).alias(f"b{t}")
+        for t in range(n_tables)
+    ]
+    # one signature pass over the corpus; each table's self-join is then a
+    # narrow (id, bucket) exchange
+    sig = emb.select(F.col(id_col).alias("_id"), *buckets).persist()
     cand = None
     for t in range(n_tables):
-        bucket = _srp_bucket_col(vec_col, srp_planes(n_planes, dim, table_seed(seed, t)))
-        sig = emb.select(F.col(id_col).alias("_id"), bucket.alias("b"))
-        a = sig.select(F.col("_id").alias("id_a"), "b")
-        b = sig.select(F.col("_id").alias("id_b"), "b")
+        a = sig.select(F.col("_id").alias("id_a"), F.col(f"b{t}").alias("b"))
+        b = sig.select(F.col("_id").alias("id_b"), F.col(f"b{t}").alias("b"))
         p = a.join(b, "b").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
         cand = p if cand is None else cand.unionByName(p)
     cand = cand.distinct()
