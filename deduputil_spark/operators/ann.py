@@ -62,13 +62,59 @@ def table_seed(seed: int, table: int) -> int:
 
 
 def _srp_bucket_col(vec_col: str, planes: np.ndarray):
-    """Bucket id column: plane 0 is the most significant bit."""
+    """Bucket id column: plane 0 is the most significant bit (JVM fold form,
+    kept for `srp_signatures` API compatibility and as the semantics spec)."""
     bucket = None
     for row in planes:
         lit_plane = F.array(*[F.lit(float(x)) for x in row])
         bit = (_dot(F.col(vec_col), lit_plane) >= 0).cast("long")
         bucket = bit if bucket is None else bucket * 2 + bit
     return bucket
+
+
+def _srp_multi_buckets(
+    emb: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+) -> DataFrame:
+    """All n_tables bucket ids per vector in ONE vectorized numpy pass
+    (mapInPandas batch matmul) -> (out_id, b0..b{n_tables-1}).
+
+    This is the scale form of the signature step: one narrow map over the
+    corpus instead of n_tables×n_planes chained fold expressions in codegen.
+    Bit semantics match `_srp_bucket_col` exactly (sign of the double dot;
+    the summation-order difference is ~1e-12 against dot magnitudes ≥1e-5 on
+    any non-degenerate data, and oracle parity tests pin it)."""
+    import pandas as pd
+
+    all_planes = np.vstack(
+        [srp_planes(n_planes, dim, table_seed(seed, t)) for t in range(n_tables)]
+    )  # (n_tables*n_planes, dim)
+    weights = np.tile(1 << np.arange(n_planes)[::-1], n_tables)
+    table_idx = np.repeat(np.arange(n_tables), n_planes)
+    cols = [out_id] + [f"b{t}" for t in range(n_tables)]
+    id_type = emb.schema[id_col].dataType.simpleString()
+    schema = f"{out_id} {id_type}, " + ", ".join(f"b{t} long" for t in range(n_tables))
+
+    def run(batches):
+        for pdf in batches:
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if len(vecs) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            bits = (vecs @ all_planes.T) >= 0  # (n, n_tables*n_planes)
+            contrib = bits * weights
+            out = {out_id: pdf[id_col]}
+            for t in range(n_tables):
+                out[f"b{t}"] = contrib[:, table_idx == t].sum(axis=1).astype(np.int64)
+            yield pd.DataFrame(out)
+
+    return emb.select(id_col, vec_col).mapInPandas(run, schema=schema)
 
 
 def cosine_topk(
@@ -135,15 +181,13 @@ def lsh_bucketed_topk(
     At cluster scale, corpus signatures are precomputed once per table and
     bucket-partitioned; the query join is then bucket-local (no full scan) and
     the candidate union is distinct-ed before the (expensive) scoring join."""
-    # all n_tables bucket ids in ONE projection per side (the plane-literal
-    # folds are the expensive expressions; computing them once per row keeps
-    # the plan a fraction of the per-table-rebuild size)
-    buckets = [
-        _srp_bucket_col(vec_col, srp_planes(n_planes, dim, table_seed(seed, t))).alias(f"b{t}")
-        for t in range(n_tables)
-    ]
-    qsig = queries.select(F.col(id_col).alias("query_id"), *buckets).persist()
-    nsig = emb.select(F.col(id_col).alias("neighbor_id"), *buckets).persist()
+    # all n_tables bucket ids in ONE vectorized numpy pass per side
+    qsig = _srp_multi_buckets(
+        queries, n_planes, n_tables, seed, dim, id_col, vec_col, "query_id"
+    ).persist()
+    nsig = _srp_multi_buckets(
+        emb, n_planes, n_tables, seed, dim, id_col, vec_col, "neighbor_id"
+    ).persist()
     cand = None
     for t in range(n_tables):
         p = (
@@ -193,13 +237,9 @@ def srp_near_pairs(
     Recall vs `embedding_near_pairs` is governed by (1-(1-p^n_planes)^n_tables)
     with p = 1 - angle/π; the pytest gate measures it on the planted corpus.
     """
-    buckets = [
-        _srp_bucket_col(vec_col, srp_planes(n_planes, dim, table_seed(seed, t))).alias(f"b{t}")
-        for t in range(n_tables)
-    ]
-    # one signature pass over the corpus; each table's self-join is then a
-    # narrow (id, bucket) exchange
-    sig = emb.select(F.col(id_col).alias("_id"), *buckets).persist()
+    # one vectorized signature pass over the corpus; each table's self-join is
+    # then a narrow (id, bucket) exchange
+    sig = _srp_multi_buckets(emb, n_planes, n_tables, seed, dim, id_col, vec_col, "_id").persist()
     cand = None
     for t in range(n_tables):
         a = sig.select(F.col("_id").alias("id_a"), F.col(f"b{t}").alias("b"))
