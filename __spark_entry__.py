@@ -413,6 +413,54 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
 """
 
 
+ANCHOR_W = 8          # containment anchor width (tokens)
+ANCHOR_HOT_CAP = 5000  # hot-anchor prune threshold
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring containment pass (north rule's suffix-anchor
+    approximation, operators/substring.py) — integer-exact components,
+    filtered at containment >= 0.8 (inter*10 >= na*8)."""
+    from deduputil_spark.operators.substring import containment_components
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"), F.col("text").alias("doc_text")
+    )
+    comp = containment_components(docs, w=ANCHOR_W, max_bucket=ANCHOR_HOT_CAP)
+    return comp.filter(F.col("inter") * 10 >= F.col("na") * 8).select(
+        F.col("conv_a").alias("doc_a"), F.col("conv_b").alias("doc_b"), "inter", "na"
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH sh AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS conv_id,
+    CASE WHEN len(toks) >= {ANCHOR_W}
+         THEN array_to_string(toks[i+1 : i+{ANCHOR_W}], ' ')
+         ELSE array_to_string(toks, ' ') END AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+  LATERAL (SELECT unnest(CASE WHEN len(toks) >= {ANCHOR_W}
+                              THEN range(0, len(toks) - {ANCHOR_W} + 1)
+                              ELSE [0] END)) t(i)
+),
+anch AS (SELECT conv_id, md5(shingle) AS anchor FROM sh),
+hot AS (SELECT anchor FROM anch GROUP BY 1 HAVING count(*) > {ANCHOR_HOT_CAP}),
+pruned AS (
+  SELECT a.conv_id, a.anchor FROM anch a
+  LEFT JOIN hot h ON h.anchor = a.anchor WHERE h.anchor IS NULL
+),
+sizes AS (SELECT conv_id, count(*) AS na FROM pruned GROUP BY 1),
+inter AS (
+  SELECT a.conv_id AS doc_a, b.conv_id AS doc_b, count(*) AS inter
+  FROM pruned a JOIN pruned b ON a.anchor = b.anchor AND a.conv_id != b.conv_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter AS inter, s.na AS na
+FROM inter i JOIN sizes s ON s.conv_id = i.doc_a
+WHERE i.inter * 10 >= s.na * 8
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word 3-gram Jaccard near-dup pairs (direct, non-LSH) — integer-exact."""
     from deduputil_spark.operators.shingle import shingles
@@ -893,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcs_pairs": q_lcs_pairs,
         "dup_clusters": q_dup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
+        "containment_pairs": q_containment_pairs,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
         "language_id": q_language_id,
@@ -925,6 +974,7 @@ def oracle_sql() -> dict[str, str]:
         "lcs_pairs": SQL_LCS_PAIRS,
         "dup_clusters": SQL_DUP_CLUSTERS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "containment_pairs": SQL_CONTAINMENT_PAIRS,
         "simhash": SQL_SIMHASH,
         "token_stats": SQL_TOKEN_STATS,
         "language_id": SQL_LANGUAGE_ID,

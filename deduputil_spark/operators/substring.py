@@ -23,14 +23,14 @@ from pyspark.sql import functions as F
 from deduputil_spark.operators.shingle import shingles
 
 
-def containment_candidates(
+def containment_components(
     docs: DataFrame,
     w: int = 8,
-    threshold: float = 1.0,
     max_bucket: int = 5000,
 ) -> DataFrame:
-    """-> (conv_a, conv_b, containment) where conv_a's anchor set is
-    `threshold`-contained in conv_b's (direction: a inside b).
+    """-> (conv_a, conv_b, inter, na) — INTEGER components of directional
+    containment(a ⊂ b) = inter / na (conv_a's anchors found in conv_b's,
+    over conv_a's pruned anchor count).
 
     Anchored on w-token shingles; the shared-anchor join is the only wide op
     and it reuses the shingle machinery (hot anchors capped like LSH buckets).
@@ -52,11 +52,23 @@ def containment_candidates(
         .groupBy("conv_a", "conv_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
-        inter.join(sizes.select(F.col("conv_id").alias("conv_a"), F.col("n_anchors").alias("na")), "conv_a")
-        .select("conv_a", "conv_b", (F.col("inter") / F.col("na")).alias("containment"))
-        .filter(F.col("containment") >= threshold)
-    )
+    return inter.join(
+        sizes.select(F.col("conv_id").alias("conv_a"), F.col("n_anchors").alias("na")), "conv_a"
+    ).select("conv_a", "conv_b", "inter", F.col("na").alias("na"))
+
+
+def containment_candidates(
+    docs: DataFrame,
+    w: int = 8,
+    threshold: float = 1.0,
+    max_bucket: int = 5000,
+) -> DataFrame:
+    """-> (conv_a, conv_b, containment) where conv_a's anchor set is
+    `threshold`-contained in conv_b's (direction: a inside b)."""
+    comp = containment_components(docs, w, max_bucket)
+    return comp.select(
+        "conv_a", "conv_b", (F.col("inter") / F.col("na")).alias("containment")
+    ).filter(F.col("containment") >= threshold)
 
 
 def verify_substring(candidates: DataFrame, docs: DataFrame) -> DataFrame:
