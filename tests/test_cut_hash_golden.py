@@ -158,3 +158,33 @@ def test_sb_chunking_matches_compiled_reference(corpus, tmp_path):
     uniq = len(counts)
     dup = sum(1 for c in counts.values() if c > 1)
     assert (uniq, dup) == (want_uniq, want_dup), (uniq, dup, want_uniq, want_dup)
+
+
+@pytest.mark.parametrize("bs", [1024, 8192])
+def test_cdc_nondefault_block_size_matches_compiled_reference(bs, corpus, tmp_path):
+    """-b <size>: the reference scales its CDC divisor D with the block size
+    (D == g_block_size); our parametrized walk must track it exactly."""
+    from collections import Counter
+
+    if not _build_binary():
+        pytest.skip("reference binary unavailable and gcc build failed")
+    pkg = str(tmp_path / f"bs{bs}.ded")
+    r = subprocess.run([BIN, "-c", "-C", "CDC", "-b", str(bs), pkg, *corpus], capture_output=True)
+    assert r.returncode == 0, r.stderr[-300:]
+    want_uniq, want_dup = _ref_counts(pkg)
+    chunks = []
+    for p in corpus:
+        data = open(p, "rb").read()
+        cuts = cdc_cuts_ref(data, block_size=bs)
+        prev = 0
+        for c in cuts:
+            chunks.append(data[prev:c])
+            prev = c
+    counts = Counter(chunks)
+    got = (len(counts), sum(1 for c in counts.values() if c > 1))
+    assert got == (want_uniq, want_dup), (bs, got, want_uniq, want_dup)
+    # and the vectorized walk tracks the scalar one at this size too
+    from deduputil_spark.functions.hashes import cdc_cuts_fast
+
+    d0 = open(corpus[0], "rb").read()
+    assert cdc_cuts_fast(d0, block_size=bs) == cdc_cuts_ref(d0, block_size=bs)
