@@ -274,28 +274,33 @@ def minhash_signatures_numpy(
     return docs.select("conv_id", text_col).mapInPandas(sig_batches, schema=_SIG_SCHEMA)
 
 
-def lsh_bands(signatures: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+def lsh_bands(
+    signatures: DataFrame, cfg: DedupConfig | None = None, band_key: str = "md5"
+) -> DataFrame:
     """(conv_id, sig) -> (conv_id, band_idx, band_hash).
 
-    band_hash = md5 of the '|'-joined row signatures of that band — a compact
-    fixed-width band key (keeps the shuffle narrow at num_perm=128+).
-    """
+    band_key="md5": md5 of the '|'-joined row signatures of that band — a
+    compact fixed-width key that DuckDB reproduces exactly (the oracle form).
+    band_key="xxhash": xxhash64 of the sliced long array directly — no string
+    construction, the pipeline fast path (same banding semantics: equal
+    band ⇔ equal row signatures, collisions 2^-64)."""
     cfg = cfg or DedupConfig()
     r = cfg.lsh_rows
+    if band_key == "md5":
+        key = lambda b: F.md5(  # noqa: E731
+            F.array_join(
+                F.transform(F.slice(F.col("sig"), b * r + 1, r), lambda x: x.cast("string")),
+                "|",
+            )
+        )
+    elif band_key == "xxhash":
+        key = lambda b: F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).cast("string")  # noqa: E731
+    else:
+        raise ValueError(f"unknown band_key {band_key!r}")
     bands = signatures.select(
         "conv_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(cfg.lsh_bands - 1)),
-                lambda b: F.md5(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("sig"), b * r + 1, r), lambda x: x.cast("string")
-                        ),
-                        "|",
-                    )
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(cfg.lsh_bands - 1)), key)
         ).alias("band_idx", "band_hash"),
     )
     return bands.withColumn("band_idx", F.col("band_idx").cast("int"))

@@ -117,7 +117,7 @@ def run_pipeline_lean(
     cfg = cfg or DedupConfig()
     docs = assemble_documents(transcripts).persist()
     sigs = minhash_signatures_numpy(docs, cfg)
-    bands = lsh_bands(sigs, cfg)
+    bands = lsh_bands(sigs, cfg, band_key="xxhash")  # no per-band string build
     cands = candidate_pairs(bands, cfg).persist()
     verified = jaccard_verify_docs(cands, docs, cfg.shingle_k, threshold=cfg.jaccard_threshold).persist()
     clusters = connected_components(
