@@ -897,7 +897,46 @@ def q_transcript_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup→reconstruct equality flags per conversation (rows-only; all true)."""
+    """S5 round-trip, HARD-oracled: FSP-chunk documents.parquet through the
+    REAL binary path (mapInPandas cut walk → block store → file_meta →
+    reconstruct, the Spark analog of dedup_package_extract,
+    /root/reference/src/dedup.c:1726-1812), then emit the md5 + length of the
+    RECONSTRUCTED text.  The DuckDB oracle computes md5/length of the SOURCE
+    text directly — a hash match certifies byte-exact reconstruction per doc
+    with zero shared code between the two sides."""
+    from deduputil_spark.operators.chunk import chunk_documents
+    from deduputil_spark.operators.dedup import build_block_store, build_file_meta
+    from deduputil_spark.operators.reconstruct import reconstruct_documents
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"), F.col("text").alias("doc_text")
+    )
+    cfg = DedupConfig(chunk_algo="fsp", block_size=FSP_BS)
+    chunks = chunk_documents(docs, cfg)
+    blocks = build_block_store(chunks)
+    meta = build_file_meta(chunks, blocks)
+    recon = reconstruct_documents(meta, blocks)
+    return recon.select(
+        F.col("conv_id").alias("doc_id"),
+        F.md5(F.col("doc_text").cast("binary")).alias("recon_md5"),
+        F.length("doc_text").cast("int").alias("recon_len"),
+    )
+
+
+SQL_ROUNDTRIP = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       md5(text) AS recon_md5,
+       CAST(length(text) AS INT) AS recon_len
+FROM documents
+"""
+
+
+def q_roundtrip_check_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-variant round-trip on synthetic transcripts (rows-only; all true).
+
+    Kept alongside the oracled FSP `roundtrip_check`: CDC boundaries are not
+    SQL-expressible, so this path is certified by pytest (per-turn equality)
+    instead of DuckDB."""
     from deduputil_spark.operators.assemble import assemble_documents
     from deduputil_spark.operators.chunk import chunk_documents
     from deduputil_spark.operators.dedup import build_block_store, build_file_meta
@@ -955,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk_stats": q_cdc_chunk_stats,
         "transcript_clusters": q_transcript_clusters,
         "roundtrip_check": q_roundtrip_check,
+        "roundtrip_check_cdc": q_roundtrip_check_cdc,
     }
 
 
@@ -985,5 +1025,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_pairs_srp": SQL_EMB_NEAR_PAIRS_SRP,
         "sessionize": SQL_SESSIONIZE,
         "hash_quality": SQL_HASH_QUALITY,
-        # cdc_chunk_stats / transcript_clusters / roundtrip_check: rows-only
+        "roundtrip_check": SQL_ROUNDTRIP,
+        # cdc_chunk_stats / transcript_clusters / roundtrip_check_cdc: rows-only
     }
