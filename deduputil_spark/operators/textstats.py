@@ -96,9 +96,18 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int = 50_000,
 ) -> DataFrame:
     """Word n-gram Jaccard near-dup pairs — the direct (non-LSH) dedup path
-    for small-to-medium corpora; fully relational."""
+    for small-to-medium corpora; fully relational.
+
+    Hot-shingle cap (same pattern as substring.containment_components /
+    lsh.py bucket caps): a shingle present in > max_df documents generates
+    |df|² join rows, so boilerplate grams are pruned BEFORE the self-join and
+    the per-doc set sizes are computed from the pruned universe — Jaccard
+    stays exact over that universe, and when nothing exceeds the cap (any
+    sane cap at oracle sf) the result is bit-identical to the uncapped form.
+    """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     sh = (
         docs.select(
@@ -115,6 +124,8 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
+    hot = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_df)
+    sh = sh.join(hot.select("g"), "g", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("nsz"))
     a = sh.select(F.col("doc").alias("doc_a"), "g")
     b = sh.select(F.col("doc").alias("doc_b"), "g")

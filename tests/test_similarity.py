@@ -277,3 +277,30 @@ def test_lsh_band_parameter_frontier(spark, shingle_df):
     # wider bands (fewer rows/band) always catch at least as much but cost more
     assert n_default <= n_wide, stats
     assert rec_wide >= rec_default - 1e-9, stats
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A planted mega-shingle (shared by EVERY doc) must not quadratically
+    pair the whole corpus; docs similar beyond the boilerplate still pair."""
+    from deduputil_spark.operators.textstats import ngram_jaccard_pairs
+
+    boiler = "standard legal disclaimer footer"
+    rows = [("near_a", f"alpha beta gamma delta epsilon zeta {boiler}"),
+            ("near_b", f"alpha beta gamma delta epsilon eta {boiler}")]
+    rows += [(f"uniq_{i}", f"w{i}a w{i}b w{i}c w{i}d w{i}e {boiler}") for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # uncapped: the boilerplate 3-grams pair every doc with every other
+    uncapped = ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_df=10**6)
+    assert uncapped.count() > 40 * 41 / 2  # quadratic blowup present
+
+    capped = ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_df=5)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert ("near_a", "near_b") in got          # real near-dups survive
+    assert all("uniq_" not in a or "uniq_" not in b for a, b in got)  # boilerplate-only pairs gone
+
+    # below-cap corpora are bit-identical to the uncapped form
+    small = docs.filter(F.col("doc_id").isin("near_a", "near_b"))
+    a = sorted(map(tuple, ngram_jaccard_pairs(small, 3, 0.01, max_df=10**6).collect()))
+    b = sorted(map(tuple, ngram_jaccard_pairs(small, 3, 0.01, max_df=50).collect()))
+    assert a == b
