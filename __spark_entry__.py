@@ -635,12 +635,13 @@ ANN_SEED = 7
 
 
 def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k — the exactness baseline for the SRP path."""
-    from deduputil_spark.operators.ann import cosine_topk
+    """Brute-force cosine top-k — the exactness baseline for the SRP path
+    (hard-capped: this entry can never run against a corpus-scale table)."""
+    from deduputil_spark.operators.ann import BRUTE_FORCE_MAX_ROWS, cosine_topk
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    return cosine_topk(emb, queries, k=ANN_K).select(
+    return cosine_topk(emb, queries, k=ANN_K, max_rows=BRUTE_FORCE_MAX_ROWS).select(
         "query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank")
     )
 
@@ -964,37 +965,53 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_dup_clusters(spark, "/root/testdata/sf0.001")
 
 
+def _scoped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Release the PREVIOUS query's tracked operator caches before building
+    the next plan, so a many-query driver session never accumulates persisted
+    RDDs beyond the live query's working set (see deduputil_spark/cache.py)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from deduputil_spark.cache import release_caches
+
+        release_caches()
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "assemble_docs": q_assemble_docs,
-        "fsp_chunks": q_fsp_chunks,
-        "fsp_tails": q_fsp_tails,
-        "exact_dup_groups": q_exact_dup_groups,
-        "block_refcounts": q_block_refcounts,
-        "dedup_stats_by_source": q_dedup_stats_by_source,
-        "shingle_counts": q_shingle_counts,
-        "minhash_bands": q_minhash_bands,
-        "lsh_candidates": q_lsh_candidates,
-        "verified_pairs": q_verified_pairs,
-        "bsim_pairs": q_bsim_pairs,
-        "lcs_pairs": q_lcs_pairs,
-        "dup_clusters": q_dup_clusters,
-        "ngram_jaccard": q_ngram_jaccard,
-        "containment_pairs": q_containment_pairs,
-        "simhash": q_simhash,
-        "token_stats": q_token_stats,
-        "language_id": q_language_id,
-        "doc_fingerprints": q_doc_fingerprints,
-        "ann_topk": q_ann_topk,
-        "ann_topk_brute": q_ann_topk_brute,
-        "embedding_near_pairs": q_embedding_near_pairs,
-        "embedding_near_pairs_srp": q_embedding_near_pairs_srp,
-        "sessionize": q_sessionize,
-        "hash_quality": q_hash_quality,
-        "cdc_chunk_stats": q_cdc_chunk_stats,
-        "transcript_clusters": q_transcript_clusters,
-        "roundtrip_check": q_roundtrip_check,
-        "roundtrip_check_cdc": q_roundtrip_check_cdc,
+        "assemble_docs": _scoped(q_assemble_docs),
+        "fsp_chunks": _scoped(q_fsp_chunks),
+        "fsp_tails": _scoped(q_fsp_tails),
+        "exact_dup_groups": _scoped(q_exact_dup_groups),
+        "block_refcounts": _scoped(q_block_refcounts),
+        "dedup_stats_by_source": _scoped(q_dedup_stats_by_source),
+        "shingle_counts": _scoped(q_shingle_counts),
+        "minhash_bands": _scoped(q_minhash_bands),
+        "lsh_candidates": _scoped(q_lsh_candidates),
+        "verified_pairs": _scoped(q_verified_pairs),
+        "bsim_pairs": _scoped(q_bsim_pairs),
+        "lcs_pairs": _scoped(q_lcs_pairs),
+        "dup_clusters": _scoped(q_dup_clusters),
+        "ngram_jaccard": _scoped(q_ngram_jaccard),
+        "containment_pairs": _scoped(q_containment_pairs),
+        "simhash": _scoped(q_simhash),
+        "token_stats": _scoped(q_token_stats),
+        "language_id": _scoped(q_language_id),
+        "doc_fingerprints": _scoped(q_doc_fingerprints),
+        "ann_topk": _scoped(q_ann_topk),
+        "ann_topk_brute": _scoped(q_ann_topk_brute),
+        "embedding_near_pairs": _scoped(q_embedding_near_pairs),
+        "embedding_near_pairs_srp": _scoped(q_embedding_near_pairs_srp),
+        "sessionize": _scoped(q_sessionize),
+        "hash_quality": _scoped(q_hash_quality),
+        "cdc_chunk_stats": _scoped(q_cdc_chunk_stats),
+        "transcript_clusters": _scoped(q_transcript_clusters),
+        "roundtrip_check": _scoped(q_roundtrip_check),
+        "roundtrip_check_cdc": _scoped(q_roundtrip_check_cdc),
     }
 
 

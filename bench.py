@@ -85,6 +85,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         n_clustered = res.clusters.count()
         elapsed = time.monotonic() - t0
         best = elapsed if best is None or elapsed < best else best
+        from deduputil_spark.cache import release_caches
+
+        release_caches()
         spark.catalog.clearCache()
     timings["pipeline_cluster"] = round(best, 3)
     extras["turns_per_sec"] = round(n_turns / timings["pipeline_cluster"], 1)

@@ -57,15 +57,13 @@ class DedupConfig:
             "adler", "rabin", "simple", "rs", "js", "pjw", "elf", "bkdr", "sdbm", "djb", "ap", "crc"
         ):
             raise ValueError(f"unknown cut_hash {self.cut_hash!r}")
-        # the vectorized adler cut test reduces adler32(win) % block_size to a
-        # windowed byte-sum residue, which is exact only when block_size
-        # divides 2^16; reject other sizes rather than silently diverging from
-        # the reference binary's cuts (the reference -b accepts any size)
-        if self.block_size <= 0 or (self.block_size & (self.block_size - 1)) != 0 or self.block_size > 65536:
-            raise ValueError(
-                f"block_size {self.block_size} must be a power of two <= 65536 "
-                "(vectorized adler cut-test validity)"
-            )
+        # the reference -b accepts any positive size: fsp/sb never use the
+        # adler residue trick, non-adler cut hashes compute a true
+        # hk % block_size at any size, and cdc_cuts_fast falls back to the
+        # exact scalar walk for non-power-of-two adler — so any positive
+        # block_size is a valid (and reference-compatible) configuration
+        if self.block_size <= 0:
+            raise ValueError(f"block_size {self.block_size} must be positive")
 
     def config_hash(self) -> str:
         """Stable 12-hex digest of every semantic knob; stamped on checkpoints."""

@@ -123,11 +123,15 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = None,
 ) -> DataFrame:
     """queries × corpus brute force -> (query_id, neighbor_id, cos, rank).
 
     The corpus side broadcasts when small; at scale, prefer
-    `lsh_bucketed_topk`."""
+    `lsh_bucketed_topk`.  Pass `max_rows` to hard-cap the corpus side (the
+    driver oracle entries set it so the brute path can never run at corpus
+    scale by accident)."""
+    _guard_brute(emb, "cosine_topk", max_rows)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).withColumn("qn", _norm(F.col("qv")))
@@ -181,23 +185,21 @@ def lsh_bucketed_topk(
     At cluster scale, corpus signatures are precomputed once per table and
     bucket-partitioned; the query join is then bucket-local (no full scan) and
     the candidate union is distinct-ed before the (expensive) scoring join."""
-    # all n_tables bucket ids in ONE vectorized numpy pass per side
-    qsig = _srp_multi_buckets(
-        queries, n_planes, n_tables, seed, dim, id_col, vec_col, "query_id"
-    ).persist()
-    nsig = _srp_multi_buckets(
-        emb, n_planes, n_tables, seed, dim, id_col, vec_col, "neighbor_id"
-    ).persist()
-    cand = None
-    for t in range(n_tables):
-        p = (
-            qsig.select("query_id", F.col(f"b{t}").alias("b"))
-            .join(nsig.select("neighbor_id", F.col(f"b{t}").alias("b")), "b")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
-        )
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
+    # all n_tables bucket ids in ONE vectorized numpy pass per side, then ONE
+    # join on the composite (table, bucket) key — posexplode replaces the
+    # former per-table join loop (n_tables exchanges + persists) with a single
+    # exchange; distinct dedups candidates that co-bucket in several tables
+    qsig = _srp_multi_buckets(queries, n_planes, n_tables, seed, dim, id_col, vec_col, "query_id")
+    nsig = _srp_multi_buckets(emb, n_planes, n_tables, seed, dim, id_col, vec_col, "neighbor_id")
+    tb = F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias("t", "b")
+    qlong = qsig.select("query_id", tb)
+    nlong = nsig.select("neighbor_id", tb)
+    cand = (
+        qlong.join(nlong, ["t", "b"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
         "qn", _norm(F.col("qv"))
     )
@@ -237,16 +239,19 @@ def srp_near_pairs(
     Recall vs `embedding_near_pairs` is governed by (1-(1-p^n_planes)^n_tables)
     with p = 1 - angle/π; the pytest gate measures it on the planted corpus.
     """
-    # one vectorized signature pass over the corpus; each table's self-join is
-    # then a narrow (id, bucket) exchange
-    sig = _srp_multi_buckets(emb, n_planes, n_tables, seed, dim, id_col, vec_col, "_id").persist()
-    cand = None
-    for t in range(n_tables):
-        a = sig.select(F.col("_id").alias("id_a"), F.col(f"b{t}").alias("b"))
-        b = sig.select(F.col("_id").alias("id_b"), F.col(f"b{t}").alias("b"))
-        p = a.join(b, "b").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
+    # one vectorized signature pass over the corpus, one (table, bucket)
+    # self-join: posexplode fuses the former per-table join loop (n_tables
+    # exchanges behind a persist) into a single exchange
+    sig = _srp_multi_buckets(emb, n_planes, n_tables, seed, dim, id_col, vec_col, "_id")
+    tb = F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias("t", "b")
+    a = sig.select(F.col("_id").alias("id_a"), tb)
+    b = sig.select(F.col("_id").alias("id_b"), tb)
+    cand = (
+        a.join(b, ["t", "b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")).withColumn(
         "na", _norm(F.col("va"))
     )
@@ -265,13 +270,38 @@ def srp_near_pairs(
     )
 
 
+#: hard ceiling for the brute-force O(N²)/O(N·Q) paths: they exist as
+#: small-scale oracles for the bucketed variants and must never be pointed at
+#: a corpus-scale table by accident (200k rows ≈ 2·10¹⁰ candidate pairs is
+#: already far past where srp_near_pairs/lsh_bucketed_topk win).
+BRUTE_FORCE_MAX_ROWS = 200_000
+
+
+def _guard_brute(df: DataFrame, what: str, max_rows: int | None) -> None:
+    if max_rows is None:
+        return
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what}: input exceeds {max_rows} rows — this is the brute-force "
+            "small-scale oracle path; use the SRP-bucketed variant "
+            "(srp_near_pairs / lsh_bucketed_topk) at corpus scale, or pass "
+            "max_rows=None to force."
+        )
+
+
 def embedding_near_pairs(
-    emb: DataFrame, threshold: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int | None = BRUTE_FORCE_MAX_ROWS,
 ) -> DataFrame:
     """All pairs above a cosine threshold — brute force O(N²).
 
     Kept as the small-scale oracle for `srp_near_pairs`; never the plan of
-    record at corpus scale."""
+    record at corpus scale (hard-capped at `max_rows` input rows)."""
+    _guard_brute(emb, "embedding_near_pairs", max_rows)
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")).withColumn(
         "na", _norm(F.col("va"))
     )

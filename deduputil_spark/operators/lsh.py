@@ -32,56 +32,56 @@ from deduputil_spark.config import DedupConfig
 
 
 def candidate_pairs(bands: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
-    """(conv_id, band_idx, band_hash) -> distinct (conv_a, conv_b), conv_a < conv_b."""
+    """(conv_id, band_idx, band_hash) -> distinct (conv_a, conv_b), conv_a < conv_b.
+
+    ONE fused self-join (was three: cold / hot-within / hot-ring, each
+    re-shuffling the bucket-pruned band table behind a persist):
+
+    - every member gets a deterministic STATELESS hash-salt
+      pmod(xxhash64(conv_id), ceil(bsz/cap)) — cold buckets (bsz ≤ cap) have
+      exactly one sub-bucket, so their salt is 0 and the salted join IS the
+      plain bucket self-join for them;
+    - the RIGHT side explodes each member to [salt, salt-1] (salt-1 only when
+      salt > 0): joining on (band, hash, salt) then yields both the within-
+      sub-bucket pairs and the adjacent-ring pairs in the same exchange, so
+      the salt boundary never hard-splits a hot bucket;
+    - sub-bucket membership is hash-ordered, so pairs are canonicalized with
+      least/greatest + distinct rather than conv_a < conv_b (which would drop
+      cross-sub-bucket edges whose orientation is reversed).
+
+    Output is identical to the three-branch form; the plan has no persist and
+    two fewer shuffle joins.  Hot-bucket pair fan-out stays bounded at ~cap²
+    per task; truncation is measured by `bucket_skew_report`, never silent.
+    """
     cfg = cfg or DedupConfig()
     cap = int(cfg.hot_bucket_cap)
 
     sizes = bands.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("bsz"))
     multi = sizes.filter(F.col("bsz") > 1)
-    # persist: b feeds 3 branches (cold self-join, hot within, hot ring) —
-    # without it each branch re-executes the bands⋈sizes shuffle join
-    b = bands.join(multi, ["band_idx", "band_hash"], "inner").persist()
+    b = bands.join(multi, ["band_idx", "band_hash"], "inner")
 
-    cold = b.filter(F.col("bsz") <= cap).drop("bsz")
-    hot = b.filter(F.col("bsz") > cap)
-
-    left = cold.select("band_idx", "band_hash", F.col("conv_id").alias("conv_a"))
-    right = cold.select("band_idx", "band_hash", F.col("conv_id").alias("conv_b"))
-    cold_pairs = (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("conv_a") < F.col("conv_b"))
-        .select("conv_a", "conv_b")
-    )
-
-    # hot path: deterministic STATELESS hash-salt into ~ceil(bsz/cap)
-    # sub-buckets.  A rank-salt (row_number over the bucket) would sort each
-    # hot bucket — by definition the biggest ones — in a single task; the
-    # hash-salt is a pure projection, no window, no sort.
     n_sub = F.greatest(F.ceil(F.col("bsz") / F.lit(cap)).cast("int"), F.lit(1))
-    salted = hot.withColumn("salt", F.pmod(F.xxhash64("conv_id"), n_sub).cast("int"))
-    sl = salted.select("band_idx", "band_hash", "salt", F.col("conv_id").alias("conv_a"))
-    sr = salted.select("band_idx", "band_hash", "salt", F.col("conv_id").alias("conv_b"))
-    within = (
-        sl.join(sr, ["band_idx", "band_hash", "salt"])
-        .filter(F.col("conv_a") < F.col("conv_b"))
-        .select("conv_a", "conv_b")
+    salted = b.withColumn("salt", F.pmod(F.xxhash64("conv_id"), n_sub).cast("int"))
+    left = salted.select("band_idx", "band_hash", "salt", F.col("conv_id").alias("conv_a"))
+    right = salted.select(
+        "band_idx",
+        "band_hash",
+        F.explode(
+            F.when(F.col("salt") > 0, F.array(F.col("salt"), F.col("salt") - 1)).otherwise(
+                F.array(F.col("salt"))
+            )
+        ).alias("salt"),
+        F.col("conv_id").alias("conv_b"),
     )
-    # ring pass: adjacent sub-buckets, so the salt boundary doesn't hard-split
-    sr_next = salted.select(
-        "band_idx", "band_hash", (F.col("salt") - 1).alias("salt"), F.col("conv_id").alias("conv_b")
-    )
-    # sub-bucket membership is hash-ordered, so canonicalize with
-    # least/greatest rather than filtering conv_a < conv_b (which would drop
-    # every cross edge whose orientation happens to be reversed)
-    ring = (
-        sl.join(sr_next, ["band_idx", "band_hash", "salt"])
+    return (
+        left.join(right, ["band_idx", "band_hash", "salt"])
         .filter(F.col("conv_a") != F.col("conv_b"))
         .select(
             F.least("conv_a", "conv_b").alias("conv_a"),
             F.greatest("conv_a", "conv_b").alias("conv_b"),
         )
+        .distinct()
     )
-    return cold_pairs.unionByName(within).unionByName(ring).distinct()
 
 
 def bucket_skew_report(bands: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:

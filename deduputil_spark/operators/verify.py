@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from deduputil_spark.cache import track
+
 
 _KSET_SCHEMA = "conv_id string, kset array<bigint>"
 
@@ -67,7 +69,9 @@ def jaccard_verify_docs(
     # no forced broadcast: distinct pair members can reach tens of millions at
     # corpus scale — let AQE pick broadcast vs shuffled semi-join by size
     cand_docs = docs.join(members, "conv_id", "left_semi")
-    ksets = _kgram_sets(cand_docs, k).persist()
+    # persist feeds both join sides of the same returned plan; registered with
+    # cache.track so the caller releases it after materializing (see cache.py)
+    ksets = track(_kgram_sets(cand_docs, k))
     a = ksets.select(F.col("conv_id").alias("conv_a"), F.col("kset").alias("ka"))
     b = ksets.select(F.col("conv_id").alias("conv_b"), F.col("kset").alias("kb"))
     out = (
@@ -114,11 +118,10 @@ def jaccard_verify(
     # instead of ~50-char strings (collision odds 2^-64·|set|² are negligible
     # for set-size arithmetic).
     # semi-prune without a forced broadcast (unbounded cardinality; AQE decides)
-    pruned = (
+    pruned = track(
         shingle_df.join(members, "conv_id", "left_semi")
         .select("conv_id", F.xxhash64("shingle").alias("shingle"))
         .distinct()
-        .persist()
     )
     return _jaccard_on_sets(pairs, pruned, threshold)
 

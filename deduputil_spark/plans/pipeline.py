@@ -22,6 +22,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from deduputil_spark.cache import track
 from deduputil_spark.config import DedupConfig
 from deduputil_spark.io import read_table, table_exists, write_table
 from deduputil_spark.operators.assemble import assemble_documents
@@ -81,7 +82,7 @@ class Runner:
             else:
                 # no checkpoint table -> persist, or every downstream stage
                 # (and this count) recomputes the entire upstream lineage
-                df = df.persist()
+                df = track(df)
         rows = df.count() if count_rows else -1
         self.metrics.append(
             StageMetric(
@@ -115,11 +116,11 @@ def run_pipeline_lean(
     what runs when you just want clusters written to a table; the metered
     `run_pipeline` is for resumable checkpointed runs."""
     cfg = cfg or DedupConfig()
-    docs = assemble_documents(transcripts).persist()
+    docs = track(assemble_documents(transcripts))
     sigs = minhash_signatures_numpy(docs, cfg)
     bands = lsh_bands(sigs, cfg, band_key="xxhash")  # no per-band string build
-    cands = candidate_pairs(bands, cfg).persist()
-    verified = jaccard_verify_docs(cands, docs, cfg.shingle_k, threshold=cfg.jaccard_threshold).persist()
+    cands = track(candidate_pairs(bands, cfg))
+    verified = track(jaccard_verify_docs(cands, docs, cfg.shingle_k, threshold=cfg.jaccard_threshold))
     clusters = connected_components(
         verified.select("conv_a", "conv_b"), cfg.max_cc_iterations,
         all_vertices=docs.select("conv_id"),
@@ -139,7 +140,7 @@ def run_pipeline(
     r = Runner(spark, cfg, checkpoint_dir)
 
     docs = r.run("assemble", lambda: assemble_documents(transcripts))
-    docs.cache()
+    track(docs)
 
     if with_exact_dedup:
         chunks = r.run("chunks", lambda: chunk_documents(docs, cfg))

@@ -106,16 +106,22 @@ def test_cdc_fast_nonpow2_blocksize_falls_back_to_ref():
         assert fast == ref, (bs, fast[:5], ref[:5])
 
 
-def test_config_rejects_nonpow2_block_size():
+def test_config_block_size_matches_reference_binary_domain():
+    """The reference -b accepts any positive size (ADVICE r2): fsp/rabin at
+    -b 1000 are valid configs; only non-positive sizes are rejected.  Non-pow2
+    adler CDC stays exact via cdc_cuts_fast's scalar fallback (tested above)."""
     import pytest as _pytest
 
     from deduputil_spark.config import DedupConfig
 
     with _pytest.raises(ValueError):
-        DedupConfig(block_size=3000)
+        DedupConfig(block_size=0)
     with _pytest.raises(ValueError):
-        DedupConfig(block_size=131072)
-    DedupConfig(block_size=1024)  # fine
+        DedupConfig(block_size=-4096)
+    DedupConfig(block_size=3000)          # non-pow2 CDC: exact scalar fallback
+    DedupConfig(block_size=131072)        # > 65536: same
+    DedupConfig(block_size=1000, chunk_algo="fsp")
+    DedupConfig(block_size=1000, cut_hash="rabin")
 
 
 @pytest.mark.parametrize(
