@@ -41,6 +41,30 @@ def assemble_documents(transcripts: DataFrame, sep: str = DOC_SEP) -> DataFrame:
     )
 
 
+#: per-turn metadata columns preserved through a package round-trip — the
+#: Spark analog of the reference's stat fields (mode at
+#: /root/reference/src/dedup.c:1761, atime/mtime at :1798-1802)
+TURN_META_COLS = ("role", "tool", "ts")
+
+
+def turn_metadata(transcripts: DataFrame) -> DataFrame:
+    """transcripts -> (conv_id, roles, tools, tss): the per-turn metadata in
+    turn_idx order, one array column per field, ready to ride in file_meta.
+
+    The reference restores mode/atime/mtime on extract
+    (/root/reference/src/dedup.c:1761,1798-1802); our per-turn analog is
+    (role, tool, ts), so `extract_turns` can rebuild the FULL transcript row,
+    not just its text."""
+    srt = F.array_sort(
+        F.collect_list(F.struct("turn_idx", *[F.col(c) for c in TURN_META_COLS]))
+    )
+    return transcripts.groupBy("conv_id").agg(
+        F.transform(srt, lambda s: s["role"]).alias("roles"),
+        F.transform(srt, lambda s: s["tool"]).alias("tools"),
+        F.transform(srt, lambda s: s["ts"]).alias("tss"),
+    )
+
+
 def validate_assembly(transcripts: DataFrame, sep: str = DOC_SEP) -> None:
     """Fail fast if a turn contains the separator (would break re-split)."""
     bad = transcripts.filter(F.col("text").contains(sep)).limit(1).count()

@@ -176,11 +176,14 @@ def remove_documents(
     # remap membership arrays: explode -> join -> re-collect in position order
     # posexplode_outer yields a (pos=null, bid=null) row for empty-bids
     # (tail-only) docs; collect_list skips nulls, so gating the struct on
-    # pos keeps their rebuilt bids [] instead of [null]
-    new_meta = (
-        surviving.select("conv_id", "tail_bytes", "n_blocks", F.posexplode_outer("bids").alias("pos", "bid"))
+    # pos keeps their rebuilt bids [] instead of [null].  Only (conv_id, bids)
+    # flow through the remap; every other file_meta column (tail_bytes,
+    # n_blocks, per-turn metadata arrays, …) is re-attached by conv_id so
+    # remove never silently drops metadata the package carries.
+    remapped = (
+        surviving.select("conv_id", F.posexplode_outer("bids").alias("pos", "bid"))
         .join(remap, "bid", "left")
-        .groupBy("conv_id", "tail_bytes", "n_blocks")
+        .groupBy("conv_id")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.when(F.col("pos").isNotNull(), F.struct("pos", "new_bid")))),
@@ -189,17 +192,23 @@ def remove_documents(
         )
         .withColumn("bids", F.coalesce("bids", F.array().cast("array<long>")))
     )
-    return new_blocks, new_meta
+    new_meta = surviving.drop("bids").join(remapped, "conv_id", "inner")
+    return new_blocks, new_meta.select(*file_meta.columns)
 
 
 def append_documents(
-    blocks: DataFrame, file_meta: DataFrame, new_chunks: DataFrame
+    blocks: DataFrame, file_meta: DataFrame, new_chunks: DataFrame,
+    new_extra: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """A5 — incremental append (/root/reference/src/dedup.c:908-1077).
 
     New chunks are deduped against the existing store via an anti-join on the
     verify key; genuinely-new blocks get ids continuing from max(bid)
     (the reference continues g_unique_block_nr).  Returns (blocks', meta').
+
+    `new_extra` (conv_id + metadata columns, e.g. assemble.turn_metadata) is
+    joined onto the new documents' meta rows so appended packages keep the
+    same per-turn metadata the create path stores.
     """
     body = new_chunks.filter(~F.col("is_tail"))
     existing_keys = blocks.select("md5", "chunk_bytes")
@@ -225,4 +234,6 @@ def append_documents(
     )
     all_blocks = updated_existing.unionByName(novel_ids.select(*updated_existing.columns))
     new_meta = build_file_meta(new_chunks, all_blocks)
-    return all_blocks, file_meta.unionByName(new_meta)
+    if new_extra is not None:
+        new_meta = new_meta.join(new_extra, "conv_id", "left")
+    return all_blocks, file_meta.unionByName(new_meta, allowMissingColumns=True)

@@ -25,8 +25,9 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from deduputil_spark.cache import track
 from deduputil_spark.config import DedupConfig
-from deduputil_spark.operators.assemble import assemble_documents
+from deduputil_spark.operators.assemble import DOC_SEP, TURN_META_COLS, assemble_documents, turn_metadata
 from deduputil_spark.operators.chunk import chunk_documents
 from deduputil_spark.operators.dedup import (
     DedupStats,
@@ -52,8 +53,14 @@ def create_package(
     cfg = cfg or DedupConfig()
     docs = assemble_documents(transcripts)
     chunks = chunk_documents(docs, cfg)
-    blocks = build_block_store(chunks).persist()
-    meta = build_file_meta(chunks, blocks).persist()
+    blocks = track(build_block_store(chunks))
+    meta = build_file_meta(chunks, blocks)
+    # per-turn metadata rides in file_meta (the reference stores mode/atime/
+    # mtime in its metadata entry, /root/reference/src/dedup.c:838-851) so
+    # extract_turns can rebuild the FULL row, not just the text
+    if set(TURN_META_COLS).issubset(transcripts.columns):
+        meta = meta.join(turn_metadata(transcripts), "conv_id", "left")
+    meta = track(meta)
     blocks.write.mode("overwrite").parquet(_p(pkg_dir, "blocks"))
     meta.write.mode("overwrite").parquet(_p(pkg_dir, "file_meta"))
     st = dedup_stats(blocks, meta)
@@ -68,6 +75,7 @@ def create_package(
 
 
 def open_package(spark: SparkSession, pkg_dir: str) -> dict[str, DataFrame]:
+    _recover(pkg_dir)
     manifest = spark.read.parquet(_p(pkg_dir, "manifest"))
     if manifest.collect()[0]["magic_num"] != MAGIC:
         raise ValueError("not a dedup package (bad magic)")
@@ -95,6 +103,42 @@ def extract_package(spark: SparkSession, pkg_dir: str) -> DataFrame:
     return reconstruct_documents(pkg["file_meta"], pkg["blocks"])
 
 
+def extract_turns(spark: SparkSession, pkg_dir: str, sep: str = DOC_SEP) -> DataFrame:
+    """dedup -x with metadata restore: full (conv_id, turn_idx, role, text,
+    tool, ts) rows — the Spark analog of the reference re-applying mode and
+    atime/mtime after writing the bytes
+    (/root/reference/src/dedup.c:1761,1798-1802).
+
+    Requires the package to have been created from a transcript table carrying
+    TURN_META_COLS; raises otherwise (text-only packages extract via
+    `extract_package`)."""
+    pkg = open_package(spark, pkg_dir)
+    meta_cols = {"roles", "tools", "tss"}
+    if not meta_cols.issubset(pkg["file_meta"].columns):
+        raise ValueError(
+            "package has no per-turn metadata arrays (created from a text-only "
+            "table?) — use extract_package for (conv_id, doc_text)"
+        )
+    recon = reconstruct_documents(pkg["file_meta"], pkg["blocks"])
+    joined = recon.join(pkg["file_meta"].select("conv_id", "roles", "tools", "tss"), "conv_id")
+    z = F.posexplode(
+        F.arrays_zip(
+            F.split("doc_text", sep).alias("text"),
+            F.col("roles").alias("role"),
+            F.col("tools").alias("tool"),
+            F.col("tss").alias("ts"),
+        )
+    ).alias("turn_idx", "t")
+    return joined.select("conv_id", z).select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("t.role").alias("role"),
+        F.col("t.text").alias("text"),
+        F.col("t.tool").alias("tool"),
+        F.col("t.ts").alias("ts"),
+    )
+
+
 def append_package(
     spark: SparkSession, transcripts: DataFrame, pkg_dir: str, cfg: DedupConfig | None = None
 ) -> None:
@@ -103,7 +147,8 @@ def append_package(
     pkg = open_package(spark, pkg_dir)
     new = transcripts.join(pkg["file_meta"].select("conv_id"), "conv_id", "left_anti")
     chunks = chunk_documents(assemble_documents(new), cfg)
-    nb, nm = append_documents(pkg["blocks"], pkg["file_meta"], chunks)
+    extra = turn_metadata(new) if set(TURN_META_COLS).issubset(new.columns) else None
+    nb, nm = append_documents(pkg["blocks"], pkg["file_meta"], chunks, new_extra=extra)
     _rewrite(spark, pkg_dir, nb, nm)
 
 
@@ -114,34 +159,79 @@ def remove_from_package(spark: SparkSession, conv_ids: DataFrame, pkg_dir: str) 
     _rewrite(spark, pkg_dir, nb, nm)
 
 
-def _swap(pkg_dir: str, name: str) -> None:
-    final = _p(pkg_dir, name)
-    shutil.rmtree(final, ignore_errors=True)
-    os.rename(final + "_tmp", final)
+#: tables replaced as ONE unit by _rewrite: all three swap together or the
+#: crash-recovery in open_package restores/promotes all three together, so a
+#: package can never mix new blocks with old file_meta (mismatched bids)
+_SWAP_TABLES = ("blocks", "file_meta", "manifest")
 
 
 def _rewrite(spark: SparkSession, pkg_dir: str, blocks: DataFrame, meta: DataFrame) -> None:
     """Stage-then-rename (parquet can't overwrite its own input mid-plan).
 
-    The tmp write fully materializes the new tables; the swap is a pure
-    filesystem rename — data is written ONCE, not twice.  On an object-store
+    Every replaced table — INCLUDING the refreshed manifest — is fully
+    materialized under <name>_tmp first; only then does the staged swap run
+    (live→_old for all, _tmp→live for all, delete _old last).  A crash at any
+    point leaves a state `_recover` can roll forward (all _tmp staged) or back
+    (otherwise); data is written ONCE, not twice.  On an object-store
     deployment the io.py Iceberg seam replaces this with a snapshot commit."""
     blocks.write.mode("overwrite").parquet(_p(pkg_dir, "blocks_tmp"))
     meta.write.mode("overwrite").parquet(_p(pkg_dir, "file_meta_tmp"))
-    # manifest must be collected BEFORE the swap unlinks its sibling tables'
-    # old files (the read is lazy)
-    manifest = spark.read.parquet(_p(pkg_dir, "manifest")).collect()[0].asDict()
-    _swap(pkg_dir, "blocks")
-    _swap(pkg_dir, "file_meta")
-    b = spark.read.parquet(_p(pkg_dir, "blocks"))
-    m = spark.read.parquet(_p(pkg_dir, "file_meta"))
     # refresh every derived header field (counts AND byte totals — the
-    # reference recomputes its header on rewrite, dedup.c:1162-1189)
+    # reference recomputes its header on rewrite, dedup.c:1162-1189) FROM THE
+    # STAGED tables, so the new manifest swaps in atomically with them; the
+    # original manifest DataFrame schema is reused so column types never
+    # drift across rewrites (int stays int, no inference from Python values)
+    mdf = spark.read.parquet(_p(pkg_dir, "manifest"))
+    schema = mdf.schema
+    manifest = mdf.collect()[0].asDict()
+    b = spark.read.parquet(_p(pkg_dir, "blocks_tmp"))
+    m = spark.read.parquet(_p(pkg_dir, "file_meta_tmp"))
     st = dedup_stats(b, m)
     manifest["block_num"] = st.unique_blocks
     manifest["file_num"] = m.count()
     manifest["total_bytes"] = st.total_bytes
     manifest["stored_bytes"] = st.unique_bytes
-    spark.createDataFrame([tuple(manifest.values())], list(manifest.keys())).write.mode(
-        "overwrite"
-    ).parquet(_p(pkg_dir, "manifest"))
+    spark.createDataFrame(
+        [tuple(manifest[f.name] for f in schema.fields)], schema
+    ).write.mode("overwrite").parquet(_p(pkg_dir, "manifest_tmp"))
+
+    # staged swap: marker-free two-phase rename with _old kept until the end
+    for name in _SWAP_TABLES:  # phase 1: move every live table aside
+        final = _p(pkg_dir, name)
+        shutil.rmtree(final + "_old", ignore_errors=True)
+        if os.path.exists(final):
+            os.rename(final, final + "_old")
+    for name in _SWAP_TABLES:  # phase 2: promote every staged table
+        os.rename(_p(pkg_dir, name) + "_tmp", _p(pkg_dir, name))
+    for name in _SWAP_TABLES:  # phase 3: drop the previous versions
+        shutil.rmtree(_p(pkg_dir, name) + "_old", ignore_errors=True)
+
+
+def _recover(pkg_dir: str) -> None:
+    """Repair a package left mid-_rewrite by a crash.
+
+    Discriminator: phase 1 only starts after every _tmp is fully written, and
+    it is the first step that touches a live table.  So if any live table is
+    missing or any _old exists, the staged set is complete → ROLL FORWARD
+    (finish phases 1-3).  Otherwise the crash happened during the _tmp writes
+    themselves → ROLL BACK (drop partial _tmp dirs; live tables untouched)."""
+    tmp = {n: os.path.exists(_p(pkg_dir, n + "_tmp")) for n in _SWAP_TABLES}
+    old = {n: os.path.exists(_p(pkg_dir, n + "_old")) for n in _SWAP_TABLES}
+    live = {n: os.path.exists(_p(pkg_dir, n)) for n in _SWAP_TABLES}
+    if not any(tmp.values()) and not any(old.values()):
+        return  # clean package
+    phase1_started = any(old.values()) or not all(live.values())
+    if phase1_started:
+        for n in _SWAP_TABLES:  # roll forward
+            if tmp[n]:
+                if live[n]:
+                    shutil.rmtree(_p(pkg_dir, n + "_old"), ignore_errors=True)
+                    os.rename(_p(pkg_dir, n), _p(pkg_dir, n) + "_old")
+                os.rename(_p(pkg_dir, n) + "_tmp", _p(pkg_dir, n))
+            elif not live[n] and old[n]:
+                # promoted nothing for this table yet its live is gone — can
+                # only happen if _tmp promotion already ran; _old is stale
+                os.rename(_p(pkg_dir, n) + "_old", _p(pkg_dir, n))
+    for n in _SWAP_TABLES:
+        shutil.rmtree(_p(pkg_dir, n + "_tmp"), ignore_errors=True)
+        shutil.rmtree(_p(pkg_dir, n + "_old"), ignore_errors=True)

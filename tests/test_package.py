@@ -120,3 +120,78 @@ def test_remove_manifest_totals_refresh(spark, transcripts, tmp_path_factory):
     assert after["total_bytes"] == st.total_bytes
     assert after["stored_bytes"] == st.unique_bytes
     assert after["block_num"] == st.unique_blocks
+
+
+def test_extract_turns_full_row_roundtrip(spark, transcripts, tmp_path_factory):
+    """S5 metadata restore (/root/reference/src/dedup.c:1761,1798-1802): a
+    create→extract_turns round-trip reproduces the FULL transcript row —
+    (conv_id, turn_idx, role, text, tool, ts) — not just the text."""
+    from deduputil_spark.sources.package import extract_turns
+
+    d = str(tmp_path_factory.mktemp("pkg_meta"))
+    create_package(spark, transcripts, d, CFG)
+    got = extract_turns(spark, d)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    src = sorted(map(tuple, transcripts.select(*cols).collect()))
+    out = sorted(map(tuple, got.select(*cols).collect()))
+    assert out == src
+
+    # metadata survives append + remove rewrites too
+    extra = spark.createDataFrame(
+        [("zzmeta", 0, "assistant", "appended with metadata " * 20, "bash", None)],
+        schema=transcripts.schema,
+    )
+    append_package(spark, extra, d, CFG)
+    victims = transcripts.select("conv_id").distinct().limit(2)
+    remove_from_package(spark, victims, d)
+    removed = {r["conv_id"] for r in victims.collect()}
+    survivors = transcripts.filter(~F.col("conv_id").isin(removed)).select(*cols)
+    want = sorted(map(tuple, survivors.unionByName(extra.select(*cols)).collect()))
+    out2 = sorted(map(tuple, extract_turns(spark, d).select(*cols).collect()))
+    assert out2 == want
+
+
+def test_manifest_schema_stable_across_rewrites(spark, transcripts, tmp_path_factory):
+    """ADVICE r2: rewrites must reuse the manifest's original schema — no
+    type drift (int->bigint) from Python-value inference."""
+    d = str(tmp_path_factory.mktemp("pkg_schema"))
+    create_package(spark, transcripts, d, CFG)
+    before = open_package(spark, d)["manifest"].schema
+    remove_from_package(spark, transcripts.select("conv_id").distinct().limit(1), d)
+    after = open_package(spark, d)["manifest"].schema
+    assert after == before
+
+
+def test_crash_recovery_roll_forward_and_back(spark, transcripts, tmp_path_factory):
+    """ADVICE r2: a crash mid-_rewrite must not leave a half-swapped package.
+    Simulate the two crash classes and check open_package self-heals."""
+    import os
+    import shutil
+
+    from deduputil_spark.sources.package import _SWAP_TABLES, _p
+
+    d = str(tmp_path_factory.mktemp("pkg_crash"))
+    create_package(spark, transcripts, d, CFG)
+    n_before = open_package(spark, d)["file_meta"].count()
+
+    # crash class 1: _tmp writes finished, phase 1 partially done
+    # (blocks moved aside, file_meta/manifest still live)
+    for n in _SWAP_TABLES:
+        shutil.copytree(_p(d, n), _p(d, n) + "_tmp")
+    os.rename(_p(d, "blocks"), _p(d, "blocks") + "_old")
+    pkg = open_package(spark, d)  # must roll FORWARD (promote all _tmp)
+    assert pkg["file_meta"].count() == n_before
+    assert not any(
+        os.path.exists(_p(d, n) + sfx) for n in _SWAP_TABLES for sfx in ("_tmp", "_old")
+    )
+    assert roundtrip_mismatches(transcripts, extract_package(spark, d)).count() == 0
+
+    # crash class 2: died during the _tmp writes (partial/garbage tmp, live
+    # tables untouched) -> roll BACK (drop tmp, keep live)
+    os.makedirs(_p(d, "blocks") + "_tmp")
+    with open(os.path.join(_p(d, "blocks") + "_tmp", "part-garbage"), "w") as f:
+        f.write("not parquet")
+    pkg = open_package(spark, d)
+    assert pkg["file_meta"].count() == n_before
+    assert not os.path.exists(_p(d, "blocks") + "_tmp")
+    assert roundtrip_mismatches(transcripts, extract_package(spark, d)).count() == 0
