@@ -135,6 +135,42 @@ def rabin_hash32(data: bytes) -> int:
     return w & U32
 
 
+def rabin_bugcompat_scalar():
+    """Bug-compatible rabin for BYTE-EXACT interop with packages the compiled
+    binary produced with `-f rabin_hash` (ADVICE r2).
+
+    The binary's initialize_tables() XORs into its static tables on every
+    rabinhash32() call without zeroing (/root/reference/src/rabinhash32.c:10-49),
+    so odd-numbered calls see real tables and even-numbered calls see all-zero
+    tables (the hash degenerates to the last 4 bytes big-endian).  This factory
+    returns a STATEFUL scalar carrying that call parity; pass it as
+    `cdc_cuts_ref(..., cut_hash=rabin_bugcompat_scalar())`, sharing ONE
+    instance across all files of a run exactly like the binary's globals.
+
+    Deliberately NOT a DedupConfig cut_hash name: the parity is global
+    sequential state, so it cannot be computed distributed/parallel — which is
+    precisely why the repo default uses corrected single-init semantics
+    (rabin_hash32 above; divergence also noted in README/COVERAGE)."""
+    state = {"n": 0}
+
+    def zero_table_rabin(b: bytes) -> int:
+        w = 0
+        starter = len(b) % 4
+        for i in range(starter):
+            w = ((w << 8) ^ b[i]) & U32
+        s = starter
+        while s < len(b):
+            w = ((b[s] << 24) ^ (b[s + 1] << 16) ^ (b[s + 2] << 8) ^ b[s + 3]) & U32
+            s += 4
+        return w
+
+    def fn(b: bytes) -> int:
+        state["n"] += 1
+        return rabin_hash32(b) if state["n"] % 2 == 1 else zero_table_rabin(b)
+
+    return fn
+
+
 def rabin_window_hashes(data: bytes, win: int = BLOCK_WIN) -> np.ndarray:
     """rabinhash32(poly=1) of every length-`win` window, vectorized across
     positions (win/4 table-gather rounds over all windows at once)."""

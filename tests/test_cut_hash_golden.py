@@ -78,31 +78,12 @@ def _ref_counts(pkg: str) -> tuple[int, int]:
 
 
 def _toggling_rabin():
-    """The BINARY's rabin: initialize_tables() XORs into its static tables on
-    every call without zeroing (rabinhash32.c:10-49), so odd-numbered calls
-    see real tables and even-numbered calls see all-zero tables (the hash
-    degenerates to the last 4 bytes big-endian).  Emulate that call-parity
-    state across the whole multi-file run to golden-match the binary."""
-    from deduputil_spark.functions.hashes import rabin_hash32 as real
+    """The binary's call-parity rabin — now the library's public bug-compat
+    scalar (hashes.rabin_bugcompat_scalar); share ONE instance across the
+    whole multi-file run to golden-match the binary's global table state."""
+    from deduputil_spark.functions.hashes import rabin_bugcompat_scalar
 
-    state = {"n": 0}
-
-    def zero_table_rabin(b: bytes) -> int:
-        w = 0
-        starter = len(b) % 4
-        for i in range(starter):
-            w = ((w << 8) ^ b[i]) & 0xFFFFFFFF
-        s = starter
-        while s < len(b):
-            w = ((b[s] << 24) ^ (b[s + 1] << 16) ^ (b[s + 2] << 8) ^ b[s + 3]) & 0xFFFFFFFF
-            s += 4
-        return w
-
-    def fn(b: bytes) -> int:
-        state["n"] += 1
-        return real(b) if state["n"] % 2 == 1 else zero_table_rabin(b)
-
-    return fn
+    return rabin_bugcompat_scalar()
 
 
 @pytest.mark.parametrize("fn", sorted(REF_NAME))

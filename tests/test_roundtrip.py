@@ -174,3 +174,31 @@ def test_sb_spans_self_dedup():
         assert s == pos
         pos = e
     assert pos == tail_start
+
+
+def test_zlib_divergence_md5_is_over_uncompressed_bytes(spark, transcripts):
+    """F4 divergence pin (VERDICT r2 item 7): the reference's -z compresses a
+    block BEFORE hashing (/root/reference/src/dedup.c:462-473), so its md5 is
+    over COMPRESSED bytes; ours is always over the UNCOMPRESSED block (parquet
+    owns storage compression).  Pin both halves: (a) compressed-storage still
+    round-trips, (b) our md5 equals md5(raw) and differs from md5(zlib(raw))
+    — i.e. a -z package from the binary is NOT block-compatible, by design."""
+    import hashlib
+    import zlib
+
+    from deduputil_spark.operators.chunk import chunk_documents, zlib_block
+
+    cfg = DedupConfig(block_size=256, block_min_size=64, block_max_size=1024)
+    docs = assemble_documents(transcripts)
+    chunks = chunk_documents(docs, cfg).filter(~F.col("is_tail")).limit(50).collect()
+    assert chunks
+    for r in chunks:
+        raw = bytes(r["chunk_bytes"])
+        comp = zlib_block(raw)
+        # (a) compressed storage round-trips byte-exactly
+        assert zlib.decompress(comp) == raw
+        # (b) our md5 column is the hash of the RAW bytes...
+        assert r["md5"] == hashlib.md5(raw).hexdigest()
+        # ...and never of the compressed bytes (the reference's -z hash)
+        if comp != raw:
+            assert r["md5"] != hashlib.md5(comp).hexdigest()

@@ -105,3 +105,56 @@ def test_bsim_and_lcs_on_spark(spark, transcripts, corpus):
     assert rows, "exact pairs must have chunk sequences"
     for r in rows:
         assert r["lcs_sim"] == pytest.approx(1.0), r
+
+
+def test_lcs_weighted_certified_on_real_cdc_chunks(spark):
+    """J2 weighted-path external certification (VERDICT r2 item 10): on REAL
+    sf0.001 documents with mixed-length CDC chunks, the distributed
+    lcs_verify_components must equal the scalar bsim.c transliteration for
+    every pair — near-dup pairs (same-text groups) AND unrelated pairs."""
+    from deduputil_spark.operators.verify import lcs_verify_components
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("conv_id"), F.col("text").alias("doc_text"))
+    )
+    cfg = DedupConfig(block_size=64, block_min_size=16, block_max_size=256)
+    # near-dup twins built FROM the real docs (sf0.001 plants no exact dups):
+    # same prefix, mutated tail -> high-but-not-1.0 LCS over shared chunks
+    twins = docs.limit(12).select(
+        F.concat(F.col("conv_id"), F.lit("_mut")).alias("conv_id"),
+        F.concat(F.expr("substring(doc_text, 1, greatest(length(doc_text) - 25, 1))"),
+                 F.lit(" mutated tail divergence zz")).alias("doc_text"),
+    )
+    chunks = chunk_documents(docs.unionByName(twins), cfg).cache()
+
+    near = docs.limit(12).select(
+        F.col("conv_id").alias("conv_a"),
+        F.concat(F.col("conv_id"), F.lit("_mut")).alias("conv_b"),
+    )
+    ids = [r["conv_id"] for r in docs.select("conv_id").orderBy("conv_id").limit(30).collect()]
+    adjacent = spark.createDataFrame(
+        [(a, b) for a, b in zip(ids[::2], ids[1::2])], "conv_a string, conv_b string"
+    )
+    pairs = near.unionByName(adjacent)
+
+    seqs = pair_chunk_sequences(pairs, chunks).cache()
+    got = {
+        (r["conv_a"], r["conv_b"]): (r["lcs_bytes"], r["union_bytes"])
+        for r in lcs_verify_components(seqs).collect()
+    }
+    rows = seqs.collect()
+    assert len(rows) >= 15
+    mixed = any(len(set(r["lens_a"])) > 1 for r in rows)
+    assert mixed, "CDC at these sizes must produce mixed-length chunk sequences"
+    n_nontrivial = 0
+    for r in rows:
+        sim = _lcs_scalar(list(r["seq_a"]), list(r["lens_a"]), list(r["seq_b"]), list(r["lens_b"]))
+        lcs_b, union_b = got[(r["conv_a"], r["conv_b"])]
+        want = 2.0 * lcs_b / union_b if union_b else 0.0
+        assert want == pytest.approx(sim), (r["conv_a"], r["conv_b"], want, sim)
+        if 0.0 < sim:
+            n_nontrivial += 1
+    assert n_nontrivial >= 5  # the certification must exercise real overlaps
+    chunks.unpersist()
+    seqs.unpersist()
