@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from deduputil_spark.cache import track
 from deduputil_spark.config import DedupConfig
 
 
@@ -56,6 +57,10 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig | None = None) -> DataFra
     cfg = cfg or DedupConfig()
     cap = int(cfg.hot_bucket_cap)
 
+    # bands feeds the bucket-size aggregate AND the self-join input; persist
+    # it (tracked — caller releases, cache.py) or its upstream — typically the
+    # expensive minhash map — re-executes once per consumer
+    bands = track(bands)
     sizes = bands.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("bsz"))
     multi = sizes.filter(F.col("bsz") > 1)
     b = bands.join(multi, ["band_idx", "band_hash"], "inner")
@@ -63,19 +68,31 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig | None = None) -> DataFra
     n_sub = F.greatest(F.ceil(F.col("bsz") / F.lit(cap)).cast("int"), F.lit(1))
     salted = b.withColumn("salt", F.pmod(F.xxhash64("conv_id"), n_sub).cast("int"))
     left = salted.select("band_idx", "band_hash", "salt", F.col("conv_id").alias("conv_a"))
+    # right side carries each member once at its own salt (ring=false) and,
+    # for salt>0, once shifted to salt-1 (ring=true) — the within-sub-bucket
+    # pairs keep the cheap conv_a < conv_b canonical filter (half the pair
+    # volume on exactly the hottest buckets), while ring pairs (hash-ordered
+    # membership) canonicalize via least/greatest
     right = salted.select(
         "band_idx",
         "band_hash",
         F.explode(
-            F.when(F.col("salt") > 0, F.array(F.col("salt"), F.col("salt") - 1)).otherwise(
-                F.array(F.col("salt"))
-            )
-        ).alias("salt"),
+            F.when(
+                F.col("salt") > 0,
+                F.array(
+                    F.struct(F.col("salt").alias("s"), F.lit(False).alias("ring")),
+                    F.struct((F.col("salt") - 1).alias("s"), F.lit(True).alias("ring")),
+                ),
+            ).otherwise(F.array(F.struct(F.col("salt").alias("s"), F.lit(False).alias("ring"))))
+        ).alias("e"),
         F.col("conv_id").alias("conv_b"),
-    )
+    ).select("band_idx", "band_hash", F.col("e.s").alias("salt"), F.col("e.ring").alias("ring"), "conv_b")
     return (
         left.join(right, ["band_idx", "band_hash", "salt"])
-        .filter(F.col("conv_a") != F.col("conv_b"))
+        .filter(
+            (~F.col("ring") & (F.col("conv_a") < F.col("conv_b")))
+            | (F.col("ring") & (F.col("conv_a") != F.col("conv_b")))
+        )
         .select(
             F.least("conv_a", "conv_b").alias("conv_a"),
             F.greatest("conv_a", "conv_b").alias("conv_b"),

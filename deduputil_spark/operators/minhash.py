@@ -103,24 +103,35 @@ for _b in b" \t\n\r\x0b\x0c":
 _TOKEN_HASH_CAP = 32  # bytes of each token fed to the polynomial; full length mixed in
 
 def batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
-    """Hash EVERY token of a batch of texts in one byte-level vectorized pass.
-
-    Returns (flat token-hash array in [0, KGRAM_P), doc boundary offsets of
-    length len(texts)+1).  NO per-token Python objects: the batch is joined
-    into one UTF-8 byte buffer, token boundaries come from a whitespace LUT,
-    and each token's polynomial hash over its first `_TOKEN_HASH_CAP` bytes is
-    a single segmented `np.add.reduceat` over a (byte, exponent) product table
-    (+ the full byte length mixed in, so cap-truncated tokens of different
-    lengths stay distinct).  Cost is a handful of O(total_bytes) passes — this
-    replaces a str.split() + string-list flatten that allocated millions of
-    Python strings per batch (the dominant minhash cost)."""
+    """Hash EVERY token of a batch of Python strings (encode + delegate to
+    `token_hashes_from_buffer`); kept as the str-input API for callers that
+    already hold strings (tests, single-doc helpers, the pandas fallback)."""
     enc = [t.encode("utf-8", "surrogatepass") for t in texts]
     n_docs = len(enc)
-    empty = np.zeros(0, dtype=np.int64)
     if n_docs == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(1, dtype=np.int64)
+    bounds = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(np.fromiter(map(len, enc), dtype=np.int64, count=n_docs), out=bounds[1:])
+    return token_hashes_from_buffer(np.frombuffer(b"".join(enc), dtype=np.uint8), bounds)
+
+
+def token_hashes_from_buffer(buf: np.ndarray, bounds: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Hash EVERY token of a batch in one byte-level vectorized pass, straight
+    off a contiguous UTF-8 buffer (e.g. an Arrow string column's values
+    buffer — ZERO Python strings anywhere on this path).
+
+    `buf` holds the docs back-to-back; doc i occupies [bounds[i], bounds[i+1])
+    and token breaks are FORCED at doc boundaries (no separator bytes needed).
+    Returns (flat token-hash array in [0, KGRAM_P), per-doc token-count
+    offsets of length n_docs+1).  Token boundaries come from a whitespace LUT,
+    and each token's polynomial hash over its first `_TOKEN_HASH_CAP` bytes is
+    a masked Horner fold (+ the full byte length mixed in, so cap-truncated
+    tokens of different lengths stay distinct).  Cost is a handful of
+    O(total_bytes) passes."""
+    n_docs = len(bounds) - 1
+    empty = np.zeros(0, dtype=np.int64)
+    if n_docs <= 0:
         return empty, np.zeros(1, dtype=np.int64)
-    doc_blens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n_docs)
-    buf = np.frombuffer(b" ".join(enc), dtype=np.uint8)
     if len(buf) == 0:
         return empty, np.zeros(n_docs + 1, dtype=np.int64)
     is_ws = _WS_LUT[buf]
@@ -128,19 +139,22 @@ def batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     prev_ws = np.empty_like(is_ws)
     prev_ws[0] = True
     prev_ws[1:] = is_ws[:-1]
+    # a doc's first byte always starts a token run (virtual break): without
+    # this, adjacent docs in the raw buffer would bridge into one token
+    inner = bounds[1:-1]
+    prev_ws[inner[inner < len(buf)]] = True
     starts = np.nonzero(nonws & prev_ws)[0]
     if len(starts) == 0:
         return empty, np.zeros(n_docs + 1, dtype=np.int64)
     next_ws = np.empty_like(is_ws)
     next_ws[-1] = True
     next_ws[:-1] = is_ws[1:]
+    last_byte = inner - 1
+    next_ws[last_byte[last_byte >= 0]] = True  # doc's last byte ends its token
     ends = np.nonzero(nonws & next_ws)[0]
     lens = ends - starts + 1
-    # map token -> doc via each doc's start offset in the joined buffer
-    doc_starts = np.empty(n_docs, dtype=np.int64)
-    doc_starts[0] = 0
-    np.cumsum(doc_blens[:-1] + 1, out=doc_starts[1:])
-    tok_doc = np.searchsorted(doc_starts, starts, side="right") - 1
+    # map token -> doc (searchsorted right-1 lands empty docs on zero tokens)
+    tok_doc = np.searchsorted(bounds[:-1], starts, side="right") - 1
     offsets = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(np.bincount(tok_doc, minlength=n_docs), out=offsets[1:])
     # masked Horner: pass j folds byte j of every still-live token.
@@ -170,6 +184,29 @@ def batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     np.add(nh, lens, out=nh)
     np.mod(nh, KGRAM_P, out=h)
     return h, offsets
+
+
+def utf8_buffer_view(arr) -> tuple[np.ndarray, np.ndarray] | None:
+    """Zero-copy (values-buffer, byte-bounds) view of an Arrow string array.
+
+    Returns None for exotic layouts (dictionary, string_view, nulls with
+    non-contiguous semantics) — callers fall back to the Python-string path.
+    Null slots in plain string arrays occupy zero bytes, so they simply become
+    empty docs."""
+    import pyarrow as pa
+
+    if pa.types.is_large_string(arr.type):
+        odt = np.int64
+    elif pa.types.is_string(arr.type):
+        odt = np.int32
+    else:
+        return None
+    bufs = arr.buffers()
+    if len(bufs) < 3 or bufs[2] is None:
+        return None
+    o = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[o[0] : o[-1]]
+    return data, o - o[0]
 
 
 def doc_kgram_hashes(text: str, k: int) -> np.ndarray:
@@ -217,11 +254,13 @@ def minhash_signatures_numpy(
     seed: int = 12345,
     scheme: str = "oph",
 ) -> DataFrame:
-    """Vectorized-numpy MinHash over assembled documents (mapInPandas).
+    """Vectorized-numpy MinHash over assembled documents (mapInArrow).
 
-    NARROW — no exploded-shingle shuffle at all: tokens are hashed with a
-    vectorized byte-level polynomial, k-gram keys are a shifted-add fold, and
-    the signature is either
+    NARROW — no exploded-shingle shuffle at all, and NO Python strings: the
+    Arrow string column's UTF-8 values buffer is viewed directly as a numpy
+    byte array (`utf8_buffer_view`), tokens are hashed with a vectorized
+    byte-level polynomial, k-gram keys are a shifted-add fold, and the
+    signature is either
 
     - "oph" (default, the scale path): one-permutation hashing — O(set size)
       per doc instead of O(num_perm × set size); the num_perm× universal
@@ -232,10 +271,13 @@ def minhash_signatures_numpy(
     - "kperm": the classic num_perm independent universal rehashes
       ((a·h+b) mod p, L2-blocked matrix min), kept as the oracle family.
 
-    The only shuffle in the whole signature→band flow is the final band
-    exchange.
+    The Arrow→pandas string materialization + re-encode that mapInPandas
+    forces (one Python str per doc, then .encode back to the same bytes) was
+    measurably larger than the hash math itself at sf0.1; mapInArrow avoids
+    both copies.  The only shuffle in the whole signature→band flow is the
+    final band exchange.
     """
-    import pandas as pd
+    import pyarrow as pa
 
     cfg = cfg or DedupConfig()
     k = cfg.shingle_k
@@ -249,29 +291,41 @@ def minhash_signatures_numpy(
 
     BLK = 192  # kperm: num_perm×BLK int64 intermediate ≈ 190 KB — L2-resident
 
-    def sig_batches(batches):
-        for pdf in batches:
-            texts = list(pdf[text_col])
-            th, offs = batch_token_hashes(texts)
-            out = []
-            for i, cid in enumerate(pdf["conv_id"]):
-                u = _kgrams_from_hashes(th[offs[i] : offs[i + 1]], k) % MERSENNE_P
-                if scheme == "oph":
-                    u.sort()  # mod MERSENNE_P breaks the kgram sort order
-                    out.append((cid, oph_signature(u, p, edges).tolist()))
-                    continue
-                if len(u) == 0:
-                    out.append((cid, [0] * p))
-                    continue
-                sig = np.full(p, MERSENNE_P, dtype=np.int64)
-                for s in range(0, len(u), BLK):
-                    blk = u[s : s + BLK]
-                    cand = (A * blk[None, :] + B) % MERSENNE_P
-                    np.minimum(sig, cand.min(axis=1), out=sig)
-                out.append((cid, sig.tolist()))
-            yield pd.DataFrame(out, columns=["conv_id", "sig"])
+    def _signatures(th: np.ndarray, offs: np.ndarray, n: int) -> np.ndarray:
+        flat = np.zeros(n * p, dtype=np.int64)
+        for i in range(n):
+            u = _kgrams_from_hashes(th[offs[i] : offs[i + 1]], k) % MERSENNE_P
+            if scheme == "oph":
+                u.sort()  # mod MERSENNE_P breaks the kgram sort order
+                flat[i * p : (i + 1) * p] = oph_signature(u, p, edges)
+                continue
+            if len(u) == 0:
+                continue  # already zeros
+            sig = np.full(p, MERSENNE_P, dtype=np.int64)
+            for s in range(0, len(u), BLK):
+                blk = u[s : s + BLK]
+                cand = (A * blk[None, :] + B) % MERSENNE_P
+                np.minimum(sig, cand.min(axis=1), out=sig)
+            flat[i * p : (i + 1) * p] = sig
+        return flat
 
-    return docs.select("conv_id", text_col).mapInPandas(sig_batches, schema=_SIG_SCHEMA)
+    def sig_batches(batches):
+        for batch in batches:
+            names = batch.schema.names
+            cid = batch.column(names.index("conv_id"))
+            txt = batch.column(names.index(text_col))
+            view = utf8_buffer_view(txt)
+            if view is not None:
+                th, offs = token_hashes_from_buffer(*view)
+            else:  # exotic arrow layout: fall back through Python strings
+                th, offs = batch_token_hashes([t if t is not None else "" for t in txt.to_pylist()])
+            flat = _signatures(th, offs, len(txt))
+            sig = pa.ListArray.from_arrays(
+                np.arange(0, (len(txt) + 1) * p, p, dtype=np.int32), pa.array(flat, type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays([cid.cast(pa.string()), sig], names=["conv_id", "sig"])
+
+    return docs.select("conv_id", text_col).mapInArrow(sig_batches, schema=_SIG_SCHEMA)
 
 
 def lsh_bands(

@@ -31,21 +31,35 @@ _KSET_SCHEMA = "conv_id string, kset array<bigint>"
 
 def _kgram_sets(docs: DataFrame, k: int, text_col: str = "doc_text") -> DataFrame:
     """(conv_id, kset array<long>) — per-doc UNIQUE k-gram hash set, one row
-    per doc (numpy via mapInPandas; same set definition as the numpy minhash)."""
-    from collections.abc import Iterator as _It
+    per doc (numpy via mapInArrow, zero-copy off the Arrow UTF-8 buffer; same
+    set definition as the numpy minhash)."""
+    from deduputil_spark.operators.minhash import (
+        _kgrams_from_hashes,
+        batch_token_hashes,
+        token_hashes_from_buffer,
+        utf8_buffer_view,
+    )
 
-    from deduputil_spark.operators.minhash import _kgrams_from_hashes, batch_token_hashes
+    def run(batches):
+        import pyarrow as pa
 
-    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
-        for pdf in batches:
-            th, offs = batch_token_hashes(list(pdf[text_col]))
-            out = [
-                (cid, _kgrams_from_hashes(th[offs[i] : offs[i + 1]], k).tolist())
-                for i, cid in enumerate(pdf["conv_id"])
-            ]
-            yield pd.DataFrame(out, columns=["conv_id", "kset"])
+        for batch in batches:
+            names = batch.schema.names
+            cid = batch.column(names.index("conv_id"))
+            txt = batch.column(names.index(text_col))
+            view = utf8_buffer_view(txt)
+            if view is not None:
+                th, offs = token_hashes_from_buffer(*view)
+            else:
+                th, offs = batch_token_hashes([t if t is not None else "" for t in txt.to_pylist()])
+            sets = [_kgrams_from_hashes(th[offs[i] : offs[i + 1]], k) for i in range(len(txt))]
+            bounds = np.zeros(len(sets) + 1, dtype=np.int64)
+            np.cumsum(np.fromiter(map(len, sets), dtype=np.int64, count=len(sets)), out=bounds[1:])
+            flat = np.concatenate(sets) if sets else np.zeros(0, dtype=np.int64)
+            kset = pa.ListArray.from_arrays(bounds.astype(np.int32), pa.array(flat, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays([cid.cast(pa.string()), kset], names=["conv_id", "kset"])
 
-    return docs.select("conv_id", text_col).mapInPandas(run, schema=_KSET_SCHEMA)
+    return docs.select("conv_id", text_col).mapInArrow(run, schema=_KSET_SCHEMA)
 
 
 def jaccard_verify_docs(
