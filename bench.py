@@ -209,8 +209,13 @@ def run_scaling(sf_dir: str) -> None:
                 [sys.executable, os.path.abspath(__file__)], env=env,
                 capture_output=True, text=True, timeout=3600,
             )
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            runs[cpus].append(json.loads(line))
+            lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+            if not lines:
+                raise RuntimeError(
+                    f"scaling leg local[{cpus}] produced no JSON "
+                    f"(exit {out.returncode}); stderr tail:\n{out.stderr[-2000:]}"
+                )
+            runs[cpus].append(json.loads(lines[-1]))
         probes.append(hardware_probe(workers=(lo, hi)))
 
     thr_lo = max(r["turns_per_sec"] for r in runs[lo])

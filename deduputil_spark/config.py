@@ -41,10 +41,15 @@ class DedupConfig:
     jaccard_threshold: float = 0.7
     max_cc_iterations: int = 20     # hash-to-min converges in O(log n)
 
+    # --- storage (reference -z: compress each block BEFORE hashing, so the
+    # dedup key is md5(zlib(chunk)) — /root/reference/src/dedup.c:462-473) ---
+    compress_blocks: bool = False
+
     # --- scale knobs ---
     shuffle_partitions: int = 32
     salt_buckets: int = 8           # salting factor for hot LSH band keys
     hot_bucket_cap: int = 2000      # per-bucket pair-generation cap (logged when hit)
+    max_pair_degree: int | None = None  # per-doc candidate-degree cap (lsh.cap_pair_degree); None = off
 
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.num_perm:

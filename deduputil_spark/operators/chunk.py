@@ -171,6 +171,41 @@ def reference_chunk_counts(texts: list[str], cfg: DedupConfig) -> dict[str, int]
     return out
 
 
+def compress_chunk_blocks(chunks: DataFrame, level: int = 6) -> DataFrame:
+    """F4 full `-z` semantics: zlib each NON-TAIL chunk and REKEY the store on
+    the compressed bytes — md5(zlib(chunk)), chunk_len = compressed length —
+    the reference's exact order of operations (compress → md5 → dedup,
+    /root/reference/src/dedup.c:462-473; same in the SB and FSP paths,
+    :598-667, :739).  Tails stay raw (extract writes last_block uncompressed,
+    /root/reference/src/dedup.c:1794).  weak32 stays over the RAW bytes (it
+    feeds the rsync weak→strong probe, which runs pre-compression).
+
+    zlib.compress(b, 6) is byte-identical to the binary's zlib_compress_block
+    (single deflateInit stream at Z_DEFAULT_COMPRESSION,
+    /root/reference/src/libz.c:270-279): golden-pinned byte-for-byte against a
+    binary-built `-z` package in tests/test_cut_hash_golden.py.
+
+    SCALE: per-block Python (Arrow-batched pandas UDF) on the chunk map side —
+    narrow, no extra shuffle; the md5/length rekey stays JVM-side."""
+    import pandas as pd
+
+    @F.pandas_udf("binary")
+    def _zc(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: zlib.compress(bytes(b), level))
+
+    keep_tail = F.col("is_tail")
+    return (
+        chunks.withColumn(
+            "chunk_bytes", F.when(keep_tail, F.col("chunk_bytes")).otherwise(_zc("chunk_bytes"))
+        )
+        .withColumn(
+            "chunk_len",
+            F.when(keep_tail, F.col("chunk_len")).otherwise(F.length("chunk_bytes").cast("int")),
+        )
+        .withColumn("md5", F.when(keep_tail, F.col("md5")).otherwise(F.md5("chunk_bytes")))
+    )
+
+
 def zlib_block(data: bytes, level: int = 6) -> bytes:
     """F4 analog — per-block zlib (the reference's -z,
     /root/reference/src/libz.c:270).  Provided for parity; our storage layer

@@ -87,7 +87,7 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig | None = None) -> DataFra
         ).alias("e"),
         F.col("conv_id").alias("conv_b"),
     ).select("band_idx", "band_hash", F.col("e.s").alias("salt"), F.col("e.ring").alias("ring"), "conv_b")
-    return (
+    out = (
         left.join(right, ["band_idx", "band_hash", "salt"])
         .filter(
             (~F.col("ring") & (F.col("conv_a") < F.col("conv_b")))
@@ -99,6 +99,9 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig | None = None) -> DataFra
         )
         .distinct()
     )
+    if cfg.max_pair_degree is not None:
+        out = cap_pair_degree(out, int(cfg.max_pair_degree))
+    return out
 
 
 def bucket_skew_report(bands: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
@@ -114,4 +117,49 @@ def bucket_skew_report(bands: DataFrame, cfg: DedupConfig | None = None) -> Data
         F.sum(F.when(F.col("bsz") > 1, F.col("bsz") * (F.col("bsz") - 1) / 2).otherwise(0)).alias(
             "naive_pair_count"
         ),
+    )
+
+
+def cap_pair_degree(pairs: DataFrame, max_degree: int) -> DataFrame:
+    """Safety valve for pathological hot documents in the candidate set.
+
+    A doc that lands in d ≫ max_degree candidate pairs ships its k-gram set d
+    times through verify (the per-pair kset replication noted in verify.py);
+    at corpus scale one boilerplate doc can dominate the verify stage.  Docs
+    with degree ≤ max_degree are untouched.  Above the cap, each incident
+    pair survives with probability max_degree/max(deg_a, deg_b) via a
+    DETERMINISTIC coin (pmod(xxhash64(conv_a, conv_b), deg) < max_degree), so
+    the expected post-cap degree is ≈ max_degree and reruns are reproducible.
+
+    Recall: hot docs are boilerplate clusters whose members co-bucket in many
+    bands; after thinning, each member still keeps ~max_degree random
+    intra-cluster edges, and a random graph with expected degree ≫ log n is
+    connected w.h.p. — connected components restores cluster membership
+    through transitivity.  The planted-pair recall gate (≥0.99) is the
+    measured guard.  Thinning is deterministic, so dropped-edge counts are
+    reproducible: `pairs.count() - capped.count()` when observability is
+    needed (same never-silent contract as bucket_skew_report).
+
+    Cost: one count aggregate over exploded pair endpoints + two broadcast-
+    friendly joins against the (small) over-cap doc list — no windows, no
+    sorts, safe at any scale.
+    """
+    deg = (
+        pairs.select(F.col("conv_a").alias("conv_id"))
+        .unionByName(pairs.select(F.col("conv_b").alias("conv_id")))
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") > max_degree)
+    )
+    da = deg.select(F.col("conv_id").alias("conv_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("conv_id").alias("conv_b"), F.col("deg").alias("deg_b"))
+    return (
+        pairs.join(da, "conv_a", "left")
+        .join(db, "conv_b", "left")
+        .withColumn("_deg", F.greatest(F.coalesce("deg_a", F.lit(0)), F.coalesce("deg_b", F.lit(0))))
+        .filter(
+            (F.col("_deg") <= max_degree)
+            | (F.pmod(F.xxhash64("conv_a", "conv_b"), F.col("_deg")) < F.lit(max_degree))
+        )
+        .drop("deg_a", "deg_b", "_deg")
     )

@@ -10,19 +10,36 @@ the north-rule invariant is per-turn text equality under stable
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deduputil_spark.operators.assemble import DOC_SEP
 
 
-def reconstruct_documents(file_meta: DataFrame, blocks: DataFrame) -> DataFrame:
+def reconstruct_documents(
+    file_meta: DataFrame, blocks: DataFrame, compressed: bool = False
+) -> DataFrame:
     """file_meta(conv_id, bids, tail_bytes) × blocks(bid, chunk_bytes)
     -> docs(conv_id, doc_text).
 
     posexplode keeps chunk order; the bid→bytes join is the only shuffle
     (broadcast when the block store is small; AQE decides).
+
+    `compressed=True` mirrors the reference's extract of a `-z` package:
+    every stored block is zlib-inflated before reassembly while the tail is
+    already raw (/root/reference/src/dedup.c:1783-1794).  Decompression runs
+    on the UNIQUE block store before the bid join — each block inflates once,
+    not once per reference.
     """
+    if compressed:
+        import zlib
+
+        @F.pandas_udf("binary")
+        def _zd(s: pd.Series) -> pd.Series:
+            return s.map(lambda b: zlib.decompress(bytes(b)))
+
+        blocks = blocks.withColumn("chunk_bytes", _zd("chunk_bytes"))
     exploded = file_meta.select("conv_id", "tail_bytes", F.posexplode_outer("bids").alias("pos", "bid"))
     joined = exploded.join(blocks.select("bid", "chunk_bytes"), "bid", "left")
     # CRITICAL: concatenate BINARY chunks first, decode to string ONCE — a CDC

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from deduputil_spark.cache import track
 from deduputil_spark.config import DedupConfig
 from deduputil_spark.operators.assemble import DOC_SEP, TURN_META_COLS, assemble_documents, turn_metadata
-from deduputil_spark.operators.chunk import chunk_documents
+from deduputil_spark.operators.chunk import chunk_documents, compress_chunk_blocks
 from deduputil_spark.operators.dedup import (
     DedupStats,
     append_documents,
@@ -53,6 +53,8 @@ def create_package(
     cfg = cfg or DedupConfig()
     docs = assemble_documents(transcripts)
     chunks = chunk_documents(docs, cfg)
+    if cfg.compress_blocks:  # reference -z: dedup keys over compressed bytes
+        chunks = compress_chunk_blocks(chunks)
     blocks = track(build_block_store(chunks))
     meta = build_file_meta(chunks, blocks)
     # per-turn metadata rides in file_meta (the reference stores mode/atime/
@@ -66,9 +68,10 @@ def create_package(
     st = dedup_stats(blocks, meta)
     manifest = spark.createDataFrame(
         [(cfg.block_size, st.unique_blocks, int(meta.count()), MAGIC, cfg.config_hash(),
-          cfg.chunk_algo, st.total_bytes, st.unique_bytes)],
+          cfg.chunk_algo, st.total_bytes, st.unique_bytes, bool(cfg.compress_blocks))],
         "block_size int, block_num long, file_num long, magic_num long, "
-        "config_hash string, chunk_algo string, total_bytes long, stored_bytes long",
+        "config_hash string, chunk_algo string, total_bytes long, stored_bytes long, "
+        "block_z boolean",
     )
     manifest.write.mode("overwrite").parquet(_p(pkg_dir, "manifest"))
     return st
@@ -86,6 +89,16 @@ def open_package(spark: SparkSession, pkg_dir: str) -> dict[str, DataFrame]:
     }
 
 
+def _pkg_z(pkg: dict[str, DataFrame]) -> bool:
+    """Whether the package stores zlib-compressed blocks (the reference's
+    header block_z field, /root/reference/src/dedup.h:64; like the binary,
+    the PACKAGE header — not the caller's flags — governs extract and append,
+    /root/reference/src/dedup.c:938,1783).  Packages written before this
+    field existed have no column and read as uncompressed."""
+    m = pkg["manifest"]
+    return "block_z" in m.columns and bool(m.collect()[0]["block_z"])
+
+
 def list_package(spark: SparkSession, pkg_dir: str) -> DataFrame:
     """dedup -t: the stored document names."""
     return open_package(spark, pkg_dir)["file_meta"].select("conv_id").orderBy("conv_id")
@@ -100,7 +113,7 @@ def package_stats(spark: SparkSession, pkg_dir: str) -> DedupStats:
 def extract_package(spark: SparkSession, pkg_dir: str) -> DataFrame:
     """dedup -x: reconstruct every document -> (conv_id, doc_text)."""
     pkg = open_package(spark, pkg_dir)
-    return reconstruct_documents(pkg["file_meta"], pkg["blocks"])
+    return reconstruct_documents(pkg["file_meta"], pkg["blocks"], compressed=_pkg_z(pkg))
 
 
 def extract_turns(spark: SparkSession, pkg_dir: str, sep: str = DOC_SEP) -> DataFrame:
@@ -119,7 +132,7 @@ def extract_turns(spark: SparkSession, pkg_dir: str, sep: str = DOC_SEP) -> Data
             "package has no per-turn metadata arrays (created from a text-only "
             "table?) — use extract_package for (conv_id, doc_text)"
         )
-    recon = reconstruct_documents(pkg["file_meta"], pkg["blocks"])
+    recon = reconstruct_documents(pkg["file_meta"], pkg["blocks"], compressed=_pkg_z(pkg))
     joined = recon.join(pkg["file_meta"].select("conv_id", "roles", "tools", "tss"), "conv_id")
     z = F.posexplode(
         F.arrays_zip(
@@ -147,6 +160,8 @@ def append_package(
     pkg = open_package(spark, pkg_dir)
     new = transcripts.join(pkg["file_meta"].select("conv_id"), "conv_id", "left_anti")
     chunks = chunk_documents(assemble_documents(new), cfg)
+    if _pkg_z(pkg):  # the package header governs, as in the binary (dedup.c:938)
+        chunks = compress_chunk_blocks(chunks)
     extra = turn_metadata(new) if set(TURN_META_COLS).issubset(new.columns) else None
     nb, nm = append_documents(pkg["blocks"], pkg["file_meta"], chunks, new_extra=extra)
     _rewrite(spark, pkg_dir, nb, nm)

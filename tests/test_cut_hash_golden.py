@@ -169,3 +169,48 @@ def test_cdc_nondefault_block_size_matches_compiled_reference(bs, corpus, tmp_pa
 
     d0 = open(corpus[0], "rb").read()
     assert cdc_cuts_fast(d0, block_size=bs) == cdc_cuts_ref(d0, block_size=bs)
+
+
+def test_zlib_mode_matches_compiled_reference_bytes(corpus, tmp_path):
+    """F4 full `-z` semantics vs the binary, byte-exact.
+
+    With -z the reference compresses each CDC chunk (zlib, Z_DEFAULT_COMPRESSION
+    — /root/reference/src/libz.c:270-279) BEFORE hashing, so the dedup key is
+    md5(zlib(chunk)) and the package stores compressed bytes
+    (/root/reference/src/dedup.c:462-473).  Three golden signals on the same
+    files:
+
+    - unique/duplicated block counts match (dedup decisions on compressed keys);
+    - block_z = 1 in the package header;
+    - total stored block bytes match EXACTLY: ldata_offset − sizeof(header)
+      (40 bytes, /root/reference/src/dedup.h:60-70) equals the sum of OUR
+      zlib-compressed unique block lengths — this certifies that Python's
+      zlib.compress(block, 6) is byte-identical to the binary's
+      zlib_compress_block on this host (same libz, same defaults).
+    """
+    import zlib
+    from collections import Counter
+
+    if not _build_binary():
+        pytest.skip("reference binary unavailable and gcc build failed")
+    pkg = str(tmp_path / "z.ded")
+    r = subprocess.run([BIN, "-z", "-c", "-C", "CDC", pkg, *corpus], capture_output=True)
+    assert r.returncode == 0, r.stderr[-300:]
+    want_uniq, want_dup = _ref_counts(pkg)
+    out = subprocess.run([BIN, "-s", "-v", pkg], capture_output=True, text=True).stderr
+    assert re.search(r"block_z = 1", out), out
+    ldata_offset = int(re.search(r"ldata_offset = (\d+)", out).group(1))
+
+    counts = Counter()
+    for p in corpus:
+        data = open(p, "rb").read()
+        cuts = cdc_cuts_ref(data)
+        prev = 0
+        for c in cuts:
+            counts[zlib.compress(data[prev:c], 6)] += 1
+            prev = c
+    uniq = len(counts)
+    dup = sum(1 for c in counts.values() if c > 1)
+    assert (uniq, dup) == (want_uniq, want_dup), (uniq, dup, want_uniq, want_dup)
+    stored = sum(len(cb) for cb in counts)  # each unique block stored once
+    assert stored == ldata_offset - 40, (stored, ldata_offset - 40)

@@ -202,3 +202,55 @@ def test_zlib_divergence_md5_is_over_uncompressed_bytes(spark, transcripts):
         # ...and never of the compressed bytes (the reference's -z hash)
         if comp != raw:
             assert r["md5"] != hashlib.md5(comp).hexdigest()
+
+
+def test_compressed_package_roundtrip_and_z_semantics(spark, transcripts, tmp_path):
+    """F4 full `-z` mode: compress_blocks=True stores zlib-compressed blocks
+    keyed by md5(COMPRESSED bytes) — the reference's exact -z semantics
+    (/root/reference/src/dedup.c:462-473: compress, then md5, then dedup) —
+    and extract decompresses transparently (dedup.c:1783-1791).  Tail blocks
+    stay raw (the reference writes last_block uncompressed, dedup.c:1794)."""
+    import hashlib
+    import zlib
+
+    from deduputil_spark.operators.reconstruct import roundtrip_mismatches
+    from deduputil_spark.sources.package import (
+        append_package,
+        create_package,
+        extract_package,
+        extract_turns,
+        open_package,
+    )
+
+    cfg = DedupConfig(compress_blocks=True)
+    pkg_dir = str(tmp_path / "pkgz")
+    ids = [r[0] for r in transcripts.select("conv_id").distinct().limit(40).collect()]
+    first, rest = ids[:30], ids[30:]
+    t1 = transcripts.filter(F.col("conv_id").isin(first))
+    create_package(spark, t1, pkg_dir, cfg)
+
+    pkg = open_package(spark, pkg_dir)
+    assert pkg["manifest"].collect()[0]["block_z"] is True
+    # every stored block: md5 is over the COMPRESSED bytes, and decompressing
+    # round-trips (i.e. the bytes really are zlib streams)
+    for row in pkg["blocks"].limit(50).collect():
+        cb = bytes(row["chunk_bytes"])
+        assert row["md5"] == hashlib.md5(cb).hexdigest()
+        assert len(zlib.decompress(cb)) >= len(cb) - 16  # decompresses cleanly
+        assert row["chunk_len"] == len(cb)
+
+    # extract decompresses: per-turn text equality against the source rows
+    assert roundtrip_mismatches(t1, extract_package(spark, pkg_dir)).count() == 0
+    # metadata restore composes with compression
+    back = extract_turns(spark, pkg_dir)
+    src = t1.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    assert src.exceptAll(back.select(*src.columns)).count() == 0
+
+    # append against a compressed store keeps the compressed keyspace:
+    # appended docs dedup against EXISTING compressed blocks (no key split)
+    append_package(spark, transcripts.filter(F.col("conv_id").isin(rest)), pkg_dir, cfg)
+    pkg2 = open_package(spark, pkg_dir)
+    n = pkg2["blocks"].count()
+    assert pkg2["blocks"].select("md5", "chunk_bytes").distinct().count() == n
+    allt = transcripts.filter(F.col("conv_id").isin(ids))
+    assert roundtrip_mismatches(allt, extract_package(spark, pkg_dir)).count() == 0
