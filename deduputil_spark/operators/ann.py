@@ -25,6 +25,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from deduputil_spark.cache import track
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -131,7 +133,7 @@ def cosine_topk(
     `lsh_bucketed_topk`.  Pass `max_rows` to hard-cap the corpus side (the
     driver oracle entries set it so the brute path can never run at corpus
     scale by accident)."""
-    _guard_brute(emb, "cosine_topk", max_rows)
+    emb = _guard_brute(emb, "cosine_topk", max_rows)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).withColumn("qn", _norm(F.col("qv")))
@@ -277,9 +279,16 @@ def srp_near_pairs(
 BRUTE_FORCE_MAX_ROWS = 200_000
 
 
-def _guard_brute(df: DataFrame, what: str, max_rows: int | None) -> None:
+def _guard_brute(df: DataFrame, what: str, max_rows: int | None) -> DataFrame:
+    """Size-cap for the brute paths.  NOTE: EAGER — runs a bounded
+    limit(max_rows+1).count() Spark job at plan-construction time (ADVICE r3:
+    this is a deliberate, documented action, not a lazy transform).  The input
+    is persisted (cache.track) first so the guard's scan is reused by the real
+    job instead of re-executing upstream lineage; the caller releases via
+    release_caches() as with every tracked frame."""
     if max_rows is None:
-        return
+        return df
+    df = track(df)
     n = df.limit(max_rows + 1).count()
     if n > max_rows:
         raise ValueError(
@@ -288,6 +297,7 @@ def _guard_brute(df: DataFrame, what: str, max_rows: int | None) -> None:
             "(srp_near_pairs / lsh_bucketed_topk) at corpus scale, or pass "
             "max_rows=None to force."
         )
+    return df
 
 
 def embedding_near_pairs(
@@ -301,7 +311,7 @@ def embedding_near_pairs(
 
     Kept as the small-scale oracle for `srp_near_pairs`; never the plan of
     record at corpus scale (hard-capped at `max_rows` input rows)."""
-    _guard_brute(emb, "embedding_near_pairs", max_rows)
+    emb = _guard_brute(emb, "embedding_near_pairs", max_rows)
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")).withColumn(
         "na", _norm(F.col("va"))
     )

@@ -98,7 +98,10 @@ def _chunk_one(cid: str, data: bytes, cfg: DedupConfig) -> Iterator[tuple]:
 
 
 def make_chunker(cfg: DedupConfig, text_col: str = "doc_text"):
-    """mapInPandas function: docs(conv_id, doc_text, ...) -> CHUNK_SCHEMA rows."""
+    """mapInPandas function: docs(conv_id, doc_text, ...) -> CHUNK_SCHEMA rows.
+
+    Kept as the readable scalar-walk form (tests diff it against the Arrow
+    path); production `chunk_documents` uses `make_arrow_chunker`."""
 
     def chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -113,11 +116,165 @@ def make_chunker(cfg: DedupConfig, text_col: str = "doc_text"):
     return chunker
 
 
+def _batch_chunk_ends(buf: np.ndarray, bounds: np.ndarray, cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Chunk END offsets (GLOBAL into `buf`) for a batch of documents packed
+    back-to-back: doc i occupies bytes [bounds[i], bounds[i+1]).  Returns
+    (ends, counts): doc i's chunks are the consecutive spans between its cuts
+    plus the always-emitted tail end at bounds[i+1]; counts[i] = cuts_i + 1.
+
+    The adler/pow2 CDC path hoists the window-sum residue match out of the
+    per-doc loop: ONE cumsum over the whole batch buffer, then each doc's walk
+    is searchsorted jumps over the shared match-position array (windows never
+    cross doc boundaries — every probed head h satisfies h >= start and
+    h + win <= end, same bounds as the per-doc walk in `cdc_cuts_fast`)."""
+    n_docs = len(bounds) - 1
+    counts = np.empty(n_docs, dtype=np.int64)
+    ends: list[int] = []
+    if cfg.chunk_algo == "fsp":
+        bs = cfg.block_size
+        for i in range(n_docs):
+            st, en = int(bounds[i]), int(bounds[i + 1])
+            nf = (en - st) // bs
+            ends.extend(range(st + bs, st + bs * nf + 1, bs))
+            ends.append(en)
+            counts[i] = nf + 1
+        return np.asarray(ends, dtype=np.int64), counts
+    if cfg.chunk_algo == "sb":
+        for i in range(n_docs):
+            st, en = int(bounds[i]), int(bounds[i + 1])
+            spans, _tail_start = sb_spans(bytes(buf[st:en]), cfg.block_size)
+            ends.extend(st + e for _, e in spans)
+            ends.append(en)
+            counts[i] = len(spans) + 1
+        return np.asarray(ends, dtype=np.int64), counts
+    # --- cdc ---
+    bs, mn, mx, win, r = (
+        cfg.block_size, cfg.block_min_size, cfg.block_max_size, cfg.block_win_size, cfg.cdc_r
+    )
+    adler_fast = cfg.cut_hash == "adler" and (bs & (bs - 1)) == 0 and bs <= 65536
+    if not adler_fast:
+        for i in range(n_docs):
+            st, en = int(bounds[i]), int(bounds[i + 1])
+            cuts = cdc_cuts_fast(bytes(buf[st:en]), bs, mn, mx, win, r, cfg.cut_hash)
+            ends.extend(st + c for c in cuts)
+            ends.append(en)
+            counts[i] = len(cuts) + 1
+        return np.asarray(ends, dtype=np.int64), counts
+    if len(buf) >= win:
+        c = np.concatenate(([0], np.cumsum(buf.view(np.int8).astype(np.int64))))
+        wsum = c[win:] - c[:-win]  # wsum[h] = signed sum of buf[h:h+win]
+        match_pos = np.flatnonzero(np.mod(wsum, bs) == r)
+    else:
+        match_pos = np.empty(0, dtype=np.int64)
+    nm = len(match_pos)
+    for i in range(n_docs):
+        st, en = int(bounds[i]), int(bounds[i + 1])
+        p = st
+        cnt = 0
+        last_head = en - win
+        while True:
+            h0 = p + (mn - win)
+            if h0 + win > en:
+                break
+            hi_cap = p + mx - 1
+            j = int(np.searchsorted(match_pos, h0))
+            if j < nm and match_pos[j] <= min(hi_cap, last_head):
+                cut = int(match_pos[j]) + win
+            elif hi_cap <= last_head:
+                cut = p + mx  # every head evaluated, none matched -> forced cut
+            else:
+                break  # windows ran out mid-block -> tail
+            ends.append(cut)
+            cnt += 1
+            p = cut
+        ends.append(en)
+        counts[i] = cnt + 1
+    return np.asarray(ends, dtype=np.int64), counts
+
+
+def make_arrow_chunker(cfg: DedupConfig, text_col: str = "doc_text"):
+    """mapInArrow chunker: zero Python strings, zero per-chunk Python objects.
+
+    Same treatment that won the minhash tokenizer 1.3× (minhash.py
+    `sig_batches`): view the Arrow string column's UTF-8 values buffer as one
+    numpy byte array, compute all cut offsets, then build the output
+    RecordBatch columnar —
+
+    - chunk_bytes: chunks tile each document exactly (cuts + always-emitted
+      tail), so the concatenated chunk bytes ARE the input buffer; the binary
+      column is built zero-copy from (cut-offsets, shared values buffer).
+    - weak32: the reference adler (signed chars, /root/reference/src/
+      checksum.c:7-24) of every chunk via two prefix sums over the batch
+      buffer — s1 = c1[en]-c1[st]; s2 = en·s1 - (cj[en]-cj[st]) where
+      cj = cumsum(j·x[j]).  int64 wraparound on huge docs is harmless: the
+      final masks are mod 2^16/2^32, which divide 2^64.
+    - conv_id: Arrow `take` with repeat indices (no Python str round-trip).
+    """
+    import pyarrow as pa
+
+    from deduputil_spark.operators.minhash import utf8_buffer_view
+
+    def chunker(batches):
+        for batch in batches:
+            names = batch.schema.names
+            cid = batch.column(names.index("conv_id"))
+            txt = batch.column(names.index(text_col))
+            view = utf8_buffer_view(txt)
+            if view is not None:
+                buf, bounds = view
+            else:  # exotic arrow layout: rebuild a packed buffer once
+                enc = [t.encode("utf-8") if t is not None else b"" for t in txt.to_pylist()]
+                bounds = np.zeros(len(enc) + 1, dtype=np.int64)
+                np.cumsum(np.fromiter(map(len, enc), dtype=np.int64, count=len(enc)), out=bounds[1:])
+                buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+            ends, counts = _batch_chunk_ends(buf, bounds, cfg)
+            offsets = np.concatenate(([0], ends))
+            total = len(ends)
+            st_, en_ = offsets[:-1], offsets[1:]
+            x = buf.view(np.int8).astype(np.int64)
+            c1 = np.concatenate(([0], np.cumsum(x)))
+            cj = np.concatenate(([0], np.cumsum(np.arange(len(x), dtype=np.int64) * x)))
+            s1 = c1[en_] - c1[st_]
+            s2 = en_ * s1 - (cj[en_] - cj[st_])
+            weak = (s1 & 0xFFFF) + ((s2 & 0xFFFF) << 16)
+            first = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=first[1:])
+            doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+            idx = np.arange(total, dtype=np.int64) - np.repeat(first, counts)
+            is_tail = np.zeros(total, dtype=bool)
+            is_tail[first + counts - 1] = True
+            if offsets[-1] < (1 << 31):
+                chunk_bytes = pa.Array.from_buffers(
+                    pa.binary(), total,
+                    [None, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(buf)],
+                )
+            else:  # >2 GB batch: int32 binary offsets can't address it
+                chunk_bytes = pa.array(
+                    [buf[a:b].tobytes() for a, b in zip(st_, en_)], type=pa.binary()
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cid.cast(pa.string()).take(pa.array(doc_of)),
+                    pa.array(idx.astype(np.int32), type=pa.int32()),
+                    chunk_bytes,
+                    pa.array((en_ - st_).astype(np.int32), type=pa.int32()),
+                    pa.array(weak, type=pa.int64()),
+                    pa.array(is_tail),
+                ],
+                names=["conv_id", "chunk_idx", "chunk_bytes", "chunk_len", "weak32", "is_tail"],
+            )
+
+    return chunker
+
+
 def chunk_documents(docs: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
     """docs(conv_id, doc_text) -> chunks(conv_id, chunk_idx, chunk_bytes,
-    chunk_len, weak32, is_tail, md5).  Narrow (no shuffle)."""
+    chunk_len, weak32, is_tail, md5).  Narrow (no shuffle); Arrow-native
+    (`make_arrow_chunker`), MD5 JVM-side."""
     cfg = cfg or DedupConfig()
-    chunks = docs.select("conv_id", "doc_text").mapInPandas(make_chunker(cfg), schema=CHUNK_SCHEMA)
+    chunks = docs.select("conv_id", "doc_text").mapInArrow(
+        make_arrow_chunker(cfg), schema=CHUNK_SCHEMA
+    )
     return chunks.withColumn("md5", F.md5(F.col("chunk_bytes")))
 
 
@@ -207,10 +364,12 @@ def compress_chunk_blocks(chunks: DataFrame, level: int = 6) -> DataFrame:
 
 
 def zlib_block(data: bytes, level: int = 6) -> bytes:
-    """F4 analog — per-block zlib (the reference's -z,
-    /root/reference/src/libz.c:270).  Provided for parity; our storage layer
-    (Parquet) already compresses, and unlike the reference we never hash
-    compressed bytes (documented semantic divergence, SURVEY.md §2.3 F4)."""
+    """F4 scalar helper — per-block zlib, byte-identical to the reference's
+    zlib_compress_block (/root/reference/src/libz.c:270, same system libz at
+    Z_DEFAULT_COMPRESSION).  The full `-z` semantics — compress → md5 → dedup,
+    i.e. the store IS keyed on md5(zlib(chunk)) exactly as the reference does
+    it — live in `compress_chunk_blocks` above (golden byte-exact vs a
+    binary-built `-z` package in tests/test_cut_hash_golden.py)."""
     return zlib.compress(data, level)
 
 

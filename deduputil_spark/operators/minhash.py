@@ -320,6 +320,8 @@ def minhash_signatures_numpy(
             else:  # exotic arrow layout: fall back through Python strings
                 th, offs = batch_token_hashes([t if t is not None else "" for t in txt.to_pylist()])
             flat = _signatures(th, offs, len(txt))
+            if len(txt) * p >= (1 << 31):  # int32 list offsets would wrap (ADVICE r3)
+                raise ValueError(f"signature batch overflows int32 list offsets ({len(txt)} docs × {p})")
             sig = pa.ListArray.from_arrays(
                 np.arange(0, (len(txt) + 1) * p, p, dtype=np.int32), pa.array(flat, type=pa.int64())
             )

@@ -56,6 +56,11 @@ def _kgram_sets(docs: DataFrame, k: int, text_col: str = "doc_text") -> DataFram
             bounds = np.zeros(len(sets) + 1, dtype=np.int64)
             np.cumsum(np.fromiter(map(len, sets), dtype=np.int64, count=len(sets)), out=bounds[1:])
             flat = np.concatenate(sets) if sets else np.zeros(0, dtype=np.int64)
+            # int32 list offsets silently wrap past 2^31 total entries; a batch
+            # that large would already have exhausted memory, but fail loudly
+            # rather than build corrupt offsets (ADVICE r3)
+            if bounds[-1] >= (1 << 31):
+                raise ValueError(f"kset batch overflows int32 list offsets ({int(bounds[-1])} entries)")
             kset = pa.ListArray.from_arrays(bounds.astype(np.int32), pa.array(flat, type=pa.int64()))
             yield pa.RecordBatch.from_arrays([cid.cast(pa.string()), kset], names=["conv_id", "kset"])
 
@@ -306,11 +311,11 @@ def lcs_verify_components(pairs_with_seqs: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             lb, ub = [], []
-            for _, row in pdf.iterrows():
-                sa = np.asarray(row["seq_a"], dtype=object)
-                sb = np.asarray(row["seq_b"], dtype=object)
-                la = np.asarray(row["lens_a"], dtype=np.int64)
-                lbn = np.asarray(row["lens_b"], dtype=np.int64)
+            for ra, rla, rb, rlb in zip(pdf["seq_a"], pdf["lens_a"], pdf["seq_b"], pdf["lens_b"]):
+                sa = np.asarray(ra, dtype=object)
+                sb = np.asarray(rb, dtype=object)
+                la = np.asarray(rla, dtype=np.int64)
+                lbn = np.asarray(rlb, dtype=np.int64)
                 x, y = _lcs_components(sa, la, sb, lbn)
                 lb.append(x)
                 ub.append(y)
@@ -328,11 +333,11 @@ def lcs_verify(pairs_with_seqs: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             sims = []
-            for _, row in pdf.iterrows():
-                sa = np.asarray(row["seq_a"], dtype=object)
-                sb = np.asarray(row["seq_b"], dtype=object)
-                la = np.asarray(row["lens_a"], dtype=np.int64)
-                lb = np.asarray(row["lens_b"], dtype=np.int64)
+            for ra, rla, rb, rlb in zip(pdf["seq_a"], pdf["lens_a"], pdf["seq_b"], pdf["lens_b"]):
+                sa = np.asarray(ra, dtype=object)
+                sb = np.asarray(rb, dtype=object)
+                la = np.asarray(rla, dtype=np.int64)
+                lb = np.asarray(rlb, dtype=np.int64)
                 sims.append(_lcs_weighted(sa, la, sb, lb))
             yield pd.DataFrame(
                 {"conv_a": pdf["conv_a"], "conv_b": pdf["conv_b"], "lcs_sim": sims}

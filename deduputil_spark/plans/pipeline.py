@@ -164,7 +164,29 @@ def run_pipeline(
             sh = shingles(docs, cfg.shingle_k, distinct=False)
         sigs = r.run("minhash", lambda: minhash_signatures(sh, cfg, family=minhash_family))
     bands = r.run("bands", lambda: lsh_bands(sigs, cfg))
-    cands = r.run("candidates", lambda: candidate_pairs(bands, cfg))
+    if cfg.max_pair_degree is None:
+        cands = r.run("candidates", lambda: candidate_pairs(bands, cfg))
+    else:
+        # degree cap ON: meter the raw and capped candidate sets as separate
+        # stages and emit the dropped-edge count as its own metrics row —
+        # thinning is never silent (the contract lsh.cap_pair_degree promises)
+        from dataclasses import replace as _replace
+
+        from deduputil_spark.operators.lsh import cap_pair_degree
+
+        raw = r.run("candidates_raw", lambda: candidate_pairs(bands, _replace(cfg, max_pair_degree=None)))
+        cands = r.run("candidates", lambda: cap_pair_degree(raw, cfg.max_pair_degree))
+        raw_n, cap_n = r.metrics[-2].rows_out, r.metrics[-1].rows_out
+        r.metrics.append(
+            StageMetric(
+                stage="degree_cap_dropped",
+                rows_out=raw_n - cap_n,
+                wall_ms=0,
+                partitions=-1,
+                config_hash=cfg.config_hash(),
+                resumed=False,
+            )
+        )
     # verify prunes DOCS before exploding shingles: cost scales with the
     # candidate set, not the corpus
     verified = r.run(

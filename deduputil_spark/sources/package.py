@@ -134,12 +134,19 @@ def extract_turns(spark: SparkSession, pkg_dir: str, sep: str = DOC_SEP) -> Data
         )
     recon = reconstruct_documents(pkg["file_meta"], pkg["blocks"], compressed=_pkg_z(pkg))
     joined = recon.join(pkg["file_meta"].select("conv_id", "roles", "tools", "tss"), "conv_id")
+    # a metadata-less document (e.g. text-only rows appended later via
+    # append_documents' allowMissingColumns union) has NULL metadata arrays;
+    # arrays_zip(…, NULL) is NULL and posexplode would silently DROP the whole
+    # document — coalesce each array to all-nulls sized by the split instead
+    # (ADVICE r3)
+    texts = F.split("doc_text", sep)
+    null_sized = lambda typ: F.transform(texts, lambda x: F.lit(None).cast(typ))  # noqa: E731
     z = F.posexplode(
         F.arrays_zip(
-            F.split("doc_text", sep).alias("text"),
-            F.col("roles").alias("role"),
-            F.col("tools").alias("tool"),
-            F.col("tss").alias("ts"),
+            texts.alias("text"),
+            F.coalesce(F.col("roles"), null_sized("string")).alias("role"),
+            F.coalesce(F.col("tools"), null_sized("string")).alias("tool"),
+            F.coalesce(F.col("tss"), null_sized("timestamp")).alias("ts"),
         )
     ).alias("turn_idx", "t")
     return joined.select("conv_id", z).select(

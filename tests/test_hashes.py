@@ -13,6 +13,7 @@ import random
 import numpy as np
 import pytest
 
+from deduputil_spark.config import DedupConfig
 from deduputil_spark.functions.hashes import (
     adler32_checksum,
     adler32_rolling,
@@ -149,3 +150,63 @@ def test_cdc_new_cut_hashes_fast_matches_ref(fn):
         + bytes(rng.randrange(256) for _ in range(8000))
     )
     assert cdc_cuts_fast(data2, cut_hash=fn) == cdc_cuts_ref(data2, cut_hash=fn)
+
+
+# ---------------------------------------------------------------------------
+# Arrow batch chunker parity: _batch_chunk_ends + prefix-sum adler must equal
+# the scalar per-doc walk (_chunk_one) for every algo on mixed-shape batches.
+# ---------------------------------------------------------------------------
+
+def _docs_corpus():
+    # empty doc, sub-min doc, exact block, multi-byte utf8, big random, NULs
+    return [
+        b"",
+        b"tiny",
+        bytes(rng.randrange(256) for _ in range(512)),
+        ("héllo wörld é" * 400).encode("utf-8"),
+        bytes(rng.randrange(256) for _ in range(50000)),
+        bytes(rng.randrange(256) for _ in range(4000)) + b"\x00\x00" + bytes(rng.randrange(256) for _ in range(4000)),
+        bytes(rng.randrange(256) for _ in range(4096)),
+    ]
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        DedupConfig(),
+        DedupConfig(chunk_algo="fsp"),
+        DedupConfig(chunk_algo="sb", block_size=1024),
+        DedupConfig(cut_hash="rabin"),
+        DedupConfig(block_size=1000),  # non-pow2 adler -> scalar fallback path
+    ],
+    ids=["cdc-adler", "fsp", "sb", "cdc-rabin", "cdc-adler-nonpow2"],
+)
+def test_arrow_batch_chunker_matches_scalar_walk(cfg):
+    from deduputil_spark.operators.chunk import _batch_chunk_ends, _chunk_one
+
+    docs = _docs_corpus()
+    bounds = np.zeros(len(docs) + 1, dtype=np.int64)
+    np.cumsum([len(d) for d in docs], out=bounds[1:])
+    buf = np.frombuffer(b"".join(docs), dtype=np.uint8)
+    ends, counts = _batch_chunk_ends(buf, bounds, cfg)
+    offsets = np.concatenate(([0], ends))
+    # prefix-sum weak32 (same expressions as make_arrow_chunker)
+    x = buf.view(np.int8).astype(np.int64)
+    c1 = np.concatenate(([0], np.cumsum(x)))
+    cj = np.concatenate(([0], np.cumsum(np.arange(len(x), dtype=np.int64) * x)))
+    st_, en_ = offsets[:-1], offsets[1:]
+    s1 = c1[en_] - c1[st_]
+    s2 = en_ * s1 - (cj[en_] - cj[st_])
+    weak = (s1 & 0xFFFF) + ((s2 & 0xFFFF) << 16)
+    pos = 0
+    for i, d in enumerate(docs):
+        expected = list(_chunk_one(str(i), d, cfg))
+        got_n = int(counts[i])
+        assert got_n == len(expected), (i, got_n, len(expected))
+        for j, (cid, cidx, piece, plen, wk, is_tail) in enumerate(expected):
+            st, en = int(offsets[pos]), int(offsets[pos + 1])
+            assert buf[st:en].tobytes() == piece, (i, j)
+            assert int(weak[pos]) == wk, (i, j, int(weak[pos]), wk)
+            assert is_tail == (j == len(expected) - 1)
+            pos += 1
+    assert pos == len(ends)

@@ -151,6 +151,26 @@ def test_extract_turns_full_row_roundtrip(spark, transcripts, tmp_path_factory):
     assert out2 == want
 
 
+def test_extract_turns_keeps_metadata_less_appends(spark, transcripts, tmp_path_factory):
+    """ADVICE r3: appending a TEXT-ONLY table into a metadata-carrying package
+    leaves its roles/tools/tss arrays NULL — extract_turns must emit those
+    turns with null metadata, never silently drop the document."""
+    from deduputil_spark.sources.package import extract_turns
+
+    d = str(tmp_path_factory.mktemp("pkg_nometa"))
+    create_package(spark, transcripts, d, CFG)
+    bare = spark.createDataFrame(
+        [("zzbare", i, f"text-only appended turn {i} " * 10) for i in range(3)],
+        "conv_id string, turn_idx int, text string",
+    )
+    append_package(spark, bare, d, CFG)
+    got = extract_turns(spark, d).filter(F.col("conv_id") == "zzbare").orderBy("turn_idx")
+    rows = got.collect()
+    assert [r["turn_idx"] for r in rows] == [0, 1, 2]
+    assert [r["text"] for r in rows] == [f"text-only appended turn {i} " * 10 for i in range(3)]
+    assert all(r["role"] is None and r["tool"] is None and r["ts"] is None for r in rows)
+
+
 def test_manifest_schema_stable_across_rewrites(spark, transcripts, tmp_path_factory):
     """ADVICE r2: rewrites must reuse the manifest's original schema — no
     type drift (int->bigint) from Python-value inference."""
