@@ -18,6 +18,7 @@ checks) and covered by the repo's own pytest oracles instead.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -933,11 +934,13 @@ FROM documents
 
 
 def q_roundtrip_check_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC-variant round-trip on synthetic transcripts (rows-only; all true).
-
-    Kept alongside the oracled FSP `roundtrip_check`: CDC boundaries are not
-    SQL-expressible, so this path is certified by pytest (per-turn equality)
-    instead of DuckDB."""
+    """CDC-variant round-trip on synthetic transcripts, HARD-oracled via a
+    golden fixture (VERDICT r3 #2): the md5/length of what comes OUT of the
+    real CDC chunk → block-store → file_meta → reconstruct path, compared by
+    DuckDB against source-side md5s precomputed with hashlib (zero shared
+    code) in tests/fixtures/roundtrip_check_cdc.parquet.  CDC boundaries are
+    not SQL-expressible, so the EXPECTED side is a fixture rather than a live
+    SQL recomputation; per-turn equality stays pytest-gated too."""
     from deduputil_spark.operators.assemble import assemble_documents
     from deduputil_spark.operators.chunk import chunk_documents
     from deduputil_spark.operators.dedup import build_block_store, build_file_meta
@@ -949,11 +952,20 @@ def q_roundtrip_check_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = build_block_store(chunks)
     meta = build_file_meta(chunks, blocks)
     recon = reconstruct_documents(meta, blocks)
-    return (
-        docs.select("conv_id", F.col("doc_text").alias("src"))
-        .join(recon, "conv_id")
-        .select("conv_id", (F.col("src") == F.col("doc_text")).alias("roundtrip_ok"))
+    return recon.select(
+        "conv_id",
+        F.md5(F.col("doc_text").cast("binary")).alias("recon_md5"),
+        F.length("doc_text").cast("int").alias("recon_len"),
     )
+
+
+#: golden-fixture oracle: DuckDB reads the precomputed expected output
+#: (absolute path — the driver's DuckDB runs on this host)
+SQL_FIXTURE = (
+    "SELECT * FROM read_parquet('"
+    + os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "{name}.parquet")
+    + "')"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1043,5 +1055,13 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": SQL_SESSIONIZE,
         "hash_quality": SQL_HASH_QUALITY,
         "roundtrip_check": SQL_ROUNDTRIP,
-        # cdc_chunk_stats / transcript_clusters / roundtrip_check_cdc: rows-only
+        # The three non-SQL-expressible queries (pandas-UDF CDC walks, full
+        # minhash/LSH pipeline) are HARD-oracled via golden fixtures: their
+        # expected outputs are precomputed by scalar Spark-free code
+        # (tests/fixtures/gen_fixtures.py — cdc_cuts_ref transliteration,
+        # hashlib md5, all-pairs Jaccard + union-find) and DuckDB reads the
+        # parquet; tests/test_golden_fixtures.py guards fixture drift.
+        "cdc_chunk_stats": SQL_FIXTURE.format(name="cdc_chunk_stats"),
+        "transcript_clusters": SQL_FIXTURE.format(name="transcript_clusters"),
+        "roundtrip_check_cdc": SQL_FIXTURE.format(name="roundtrip_check_cdc"),
     }

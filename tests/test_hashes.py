@@ -182,22 +182,14 @@ def _docs_corpus():
     ids=["cdc-adler", "fsp", "sb", "cdc-rabin", "cdc-adler-nonpow2"],
 )
 def test_arrow_batch_chunker_matches_scalar_walk(cfg):
-    from deduputil_spark.operators.chunk import _batch_chunk_ends, _chunk_one
+    from deduputil_spark.operators.chunk import _batch_chunk_walk, _chunk_one
 
     docs = _docs_corpus()
     bounds = np.zeros(len(docs) + 1, dtype=np.int64)
     np.cumsum([len(d) for d in docs], out=bounds[1:])
     buf = np.frombuffer(b"".join(docs), dtype=np.uint8)
-    ends, counts = _batch_chunk_ends(buf, bounds, cfg)
+    ends, counts, weak = _batch_chunk_walk(buf, bounds, cfg)
     offsets = np.concatenate(([0], ends))
-    # prefix-sum weak32 (same expressions as make_arrow_chunker)
-    x = buf.view(np.int8).astype(np.int64)
-    c1 = np.concatenate(([0], np.cumsum(x)))
-    cj = np.concatenate(([0], np.cumsum(np.arange(len(x), dtype=np.int64) * x)))
-    st_, en_ = offsets[:-1], offsets[1:]
-    s1 = c1[en_] - c1[st_]
-    s2 = en_ * s1 - (cj[en_] - cj[st_])
-    weak = (s1 & 0xFFFF) + ((s2 & 0xFFFF) << 16)
     pos = 0
     for i, d in enumerate(docs):
         expected = list(_chunk_one(str(i), d, cfg))

@@ -89,15 +89,11 @@ def test_query_matches_oracle(spark, ddb, sf_dir, name):
         raise AssertionError(f"{name}: value mismatch\nspark-only: {diff_a}\nduck-only: {diff_b}")
 
 
-ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(spark, sf_dir, name):
-    df = entrymod.queries()[name](spark, sf_dir)
-    assert df.count() >= 0
-    if name == "roundtrip_check":
-        assert df.filter(~df["roundtrip_ok"]).count() == 0
+def test_every_query_has_an_oracle():
+    """Since the golden-fixture oracles landed (VERDICT r3 #2) there are NO
+    rows-only queries left: every queries() entry must carry an oracle_sql()
+    entry, so the driver's correctness gate is rows+schema+hash for 29/29."""
+    assert set(entrymod.queries()) == set(entrymod.oracle_sql())
 
 
 def test_entry_smoke(spark):
