@@ -863,6 +863,72 @@ SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_event
 
 
 # ---------------------------------------------------------------------------
+# Distributed suffix-array pass (north-rule: exact-substring dupes)
+# ---------------------------------------------------------------------------
+
+SUFFIX_L = 15  # non-power-of-two: exercises the SA final-combine step
+
+
+def q_suffix_dup_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every character position whose length-L substring occurs >=2 times
+    anywhere in the corpus, via the REAL L-truncated prefix-doubling suffix
+    array (Larsson-Sadakane rounds of rank-pair re-ranking — no hashing
+    involved on the Spark side).  The DuckDB oracle recomputes duplicated
+    positions directly from the gram text, so a hash match certifies the
+    distributed SA's equality classes position-for-position."""
+    from deduputil_spark.operators.suffixarray import duplicated_positions
+
+    return duplicated_positions(_docs(spark, sf_dir), SUFFIX_L, method="sa").select(
+        "doc_id", F.col("pos").cast("int").alias("pos")
+    )
+
+
+def q_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged duplicated-substring spans per document (the text a training
+    pipeline would strip), via the rolling-hash scale path: 8 bytes/position
+    on the wire, candidates re-verified against the actual gram."""
+    from deduputil_spark.operators.suffixarray import duplicated_spans
+
+    return duplicated_spans(_docs(spark, sf_dir), SUFFIX_L, method="rolling").select(
+        "doc_id", "span_start", "span_end", "n_dup_grams"
+    )
+
+
+SQL_SUFFIX_GRAMS = f"""
+WITH pos AS (
+  SELECT doc_id, CAST(unnest(generate_series(0, length(text) - {SUFFIX_L})) AS INT) AS pos, text
+  FROM documents WHERE length(text) >= {SUFFIX_L}
+),
+grams AS (SELECT doc_id, pos, substr(text, pos + 1, {SUFFIX_L}) AS gram FROM pos),
+dups AS (
+  SELECT g.doc_id, g.pos FROM grams g
+  JOIN (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2) dk USING (gram)
+)
+"""
+
+SQL_SUFFIX_DUP_POSITIONS = SQL_SUFFIX_GRAMS + "SELECT doc_id, pos FROM dups"
+
+SQL_SUFFIX_SPANS = SQL_SUFFIX_GRAMS + f""",
+flagged AS (
+  SELECT doc_id, pos,
+    CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > {SUFFIX_L}
+         THEN 1 ELSE 0 END AS brk
+  FROM dups WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+islands AS (
+  SELECT doc_id, pos,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {SUFFIX_L} AS INT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_dup_grams
+FROM islands GROUP BY doc_id, island
+"""
+
+
+# ---------------------------------------------------------------------------
 # Rows-only entries (non-SQL-expressible: pandas-UDF CDC, full pipeline)
 # ---------------------------------------------------------------------------
 
@@ -1020,6 +1086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs_srp": _scoped(q_embedding_near_pairs_srp),
         "sessionize": _scoped(q_sessionize),
         "hash_quality": _scoped(q_hash_quality),
+        "suffix_dup_positions": _scoped(q_suffix_dup_positions),
+        "suffix_spans": _scoped(q_suffix_spans),
         "cdc_chunk_stats": _scoped(q_cdc_chunk_stats),
         "transcript_clusters": _scoped(q_transcript_clusters),
         "roundtrip_check": _scoped(q_roundtrip_check),
@@ -1054,6 +1122,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_pairs_srp": SQL_EMB_NEAR_PAIRS_SRP,
         "sessionize": SQL_SESSIONIZE,
         "hash_quality": SQL_HASH_QUALITY,
+        "suffix_dup_positions": SQL_SUFFIX_DUP_POSITIONS,
+        "suffix_spans": SQL_SUFFIX_SPANS,
         "roundtrip_check": SQL_ROUNDTRIP,
         # The three non-SQL-expressible queries (pandas-UDF CDC walks, full
         # minhash/LSH pipeline) are HARD-oracled via golden fixtures: their

@@ -116,7 +116,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
         # driver-table queries at sf_dir
         for name in ["fsp_chunks", "minhash_bands", "verified_pairs", "ann_topk",
-                     "simhash", "token_stats", "sessionize"]:
+                     "simhash", "token_stats", "sessionize", "suffix_spans"]:
             q = em.queries()[name]
             t0 = time.monotonic()
             q(spark, sf_dir).count()

@@ -1,0 +1,329 @@
+"""Distributed suffix-array pass for exact-substring duplicates.
+
+The north rule names "a distributed suffix-array pass for exact-substring
+dupes" — the Lee et al. (2021, "Deduplicating Training Data Makes Language
+Models Better") semantics: find every position whose length-L substring
+occurs at two or more positions anywhere in the corpus, and merge those
+positions into duplicated spans (the text you would strip from a training
+set).  Reference parity: this is the corpus-wide generalization of the
+reference's fixed/content-defined block-hash duplicate lookup
+(/root/reference/src/dedup.c:329-395) to EVERY character offset instead of
+chunk boundaries.
+
+Three interchangeable paths, cross-checked in tests:
+
+- ``method="sa"`` — a real distributed suffix array, L-truncated
+  prefix doubling (Larsson–Sadakane): log2(L) rounds, each one
+  ``(rank[p], rank[p+d])`` self-join + tie-aware range-partitioned dense
+  re-rank (`assign_dense_ranks` — NO global window anywhere).  After
+  doubling to d = 2^floor(log2 L), a final ``(rank_d[p], rank_d[p+L-d])``
+  combine makes non-power-of-two L exact.  Positions sharing a final key
+  have byte-identical first L characters — the truncated suffix-array
+  equality classes.
+- ``method="rolling"`` — the 100-TB scale path: per-document vectorized
+  mod-2^64 polynomial rolling hash (uint64 wraparound prefix sums over
+  UTF-32 codepoints, odd base => invertible), so the corpus-wide exchange
+  carries 8-byte hashes instead of L-char grams; candidate groups are
+  re-verified against the actual gram so hash collisions cannot produce
+  false duplicates.
+- ``method="direct"`` — substring + groupBy(gram), the oracle-parity
+  reference (shuffles O(L) bytes per position; small-scale only).
+
+Positions are CHARACTER offsets (0-based), matching SQL ``substr``
+semantics for any unicode text.
+
+SCALE NOTES: every path materializes O(total_chars) position rows — that is
+inherent to suffix-array semantics, not an implementation choice; the knobs
+that matter are bytes-per-position on the wire (8 for rolling / ~2×8 for the
+sa ranks vs L for direct) and the absence of global sorts (dense re-ranks
+are the same two-pass range-partitioned scheme as dedup.assign_dense_ids).
+Per-doc numpy work is cache-resident (docs are KBs) — no batch-global temps
+(see BENCH/BASELINE.md round-4 allocator note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# odd 64-bit base -> invertible mod 2^64; value is arbitrary but fixed
+_B = 0x9E3779B97F4A7C15 | 1
+_BINV = pow(_B, -1, 1 << 64)
+_MASK64 = (1 << 64) - 1
+
+
+# ---------------------------------------------------------------------------
+# shared plumbing
+# ---------------------------------------------------------------------------
+
+
+def doc_positions(
+    docs: DataFrame, L: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (id, pos) for every character position that starts a full L-gram
+    (pos in 0 .. len-L).  Narrow map; no shuffle."""
+    return docs.select(
+        F.col(id_col).alias(id_col),
+        F.explode(
+            F.when(
+                F.length(text_col) >= L,
+                F.sequence(F.lit(0), F.length(text_col) - L),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+    )
+
+
+def lgrams_direct(
+    docs: DataFrame, L: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (id, pos, gram): every L-character gram with its start offset.
+    Oracle-parity path — carries the gram text itself (O(L) bytes/position)."""
+    return docs.select(
+        F.col(id_col).alias(id_col),
+        F.posexplode(
+            F.when(
+                F.length(text_col) >= L,
+                F.transform(
+                    F.sequence(F.lit(0), F.length(text_col) - L),
+                    lambda i: F.substring(F.col(text_col), i + 1, L),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash scale path
+# ---------------------------------------------------------------------------
+
+
+def lgram_hashes(
+    docs: DataFrame, L: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (id, pos, h): mod-2^64 polynomial rolling hash of every L-gram.
+
+    h(p) = (S[p+L] - S[p]) * B^{-p}  (mod 2^64), S = prefix sums of
+    codepoint[i] * B^i.  All arithmetic is uint64 wraparound (numpy), i.e.
+    exact mod-2^64; equal grams always hash equal.  8 bytes/position on the
+    wire — the reason this is the 100-TB path."""
+    import numpy as np
+    import pyarrow as pa
+
+    id_field = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_field}, pos int, h bigint"
+    Lc = int(L)
+
+    def batches(it):
+        for batch in it:
+            ids_col = batch.column(0)
+            texts = batch.column(1)
+            out_ids, out_pos, out_h = [], [], []
+            for i in range(batch.num_rows):
+                s = texts[i].as_py()
+                if s is None:
+                    continue
+                cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+                n = cp.size
+                if n < Lc:
+                    continue
+                with np.errstate(over="ignore"):
+                    pw = np.empty(n, dtype=np.uint64)
+                    pw[0] = 1
+                    if n > 1:
+                        np.cumprod(np.full(n - 1, _B, dtype=np.uint64), out=pw[1:])
+                    terms = cp.astype(np.uint64) * pw
+                    S = np.empty(n + 1, dtype=np.uint64)
+                    S[0] = 0
+                    np.cumsum(terms, out=S[1:])
+                    ipw = np.empty(n - Lc + 1, dtype=np.uint64)
+                    ipw[0] = 1
+                    if n - Lc > 0:
+                        np.cumprod(np.full(n - Lc, _BINV, dtype=np.uint64), out=ipw[1:])
+                    h = (S[Lc:] - S[: n - Lc + 1]) * ipw
+                out_ids.append(np.full(n - Lc + 1, i, dtype=np.int64))
+                out_pos.append(np.arange(n - Lc + 1, dtype=np.int32))
+                out_h.append(h.view(np.int64))
+            if not out_ids:
+                continue
+            row_idx = pa.array(np.concatenate(out_ids))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids_col.take(row_idx),
+                    pa.array(np.concatenate(out_pos)),
+                    pa.array(np.concatenate(out_h)),
+                ],
+                names=[id_col, "pos", "h"],
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# tie-aware scalable dense ranking (the suffix-array re-rank primitive)
+# ---------------------------------------------------------------------------
+
+
+def assign_dense_ranks(
+    df: DataFrame,
+    key_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Tie-aware dense rank over `key_cols`, scalably: equal keys get EQUAL
+    rank (unlike dedup.assign_dense_ids, which numbers rows).  Two-pass:
+    range-partition by key (equal keys co-locate), per-partition dense_rank
+    window, driver-broadcast offsets = cumulative count of DISTINCT keys in
+    preceding partitions.  No global window."""
+    nparts = num_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    keys = [F.col(c) for c in key_cols]
+    parted = (
+        df.repartitionByRange(nparts, *keys)
+        .withColumn("_part", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # freeze partitioning for both passes
+    )
+    counts = {
+        r["_part"]: r["nd"]
+        for r in parted.groupBy("_part").agg(F.countDistinct(*keys).alias("nd")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    offset_df = df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "part int, _offset bigint"
+    )
+    w = Window.partitionBy("_part").orderBy(*key_cols)
+    return (
+        parted.withColumn("_dr", F.dense_rank().over(w))
+        .join(F.broadcast(offset_df), F.col("_part") == F.col("part"), "inner")
+        .withColumn(rank_col, (F.col("_offset") + F.col("_dr") - 1).cast("long"))
+        .drop("_part", "_dr", "part", "_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# the suffix-array path: L-truncated prefix doubling
+# ---------------------------------------------------------------------------
+
+
+def truncated_suffix_ranks(
+    docs: DataFrame, L: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (id, pos, key1, key2) for every full-L-gram position, where two
+    positions share (key1, key2) iff their first L characters are identical
+    — the equality classes of the L-truncated suffix array.
+
+    Prefix doubling: rank_1 = dense rank of the single character; round d
+    re-ranks (rank_d[p], rank_d[p+d]) until 2d > L; the final key pair is
+    (rank_d[p], rank_d[p + L - d]) which covers [p, p+L) exactly for any L.
+    Suffix ends rank as -1 sentinels (consistent: a short suffix never
+    equals a longer one's prefix class at full L because final positions
+    are filtered to pos <= len-L)."""
+    L = int(L)
+    if L < 1:
+        raise ValueError("L must be >= 1")
+    # all suffix positions 0..len-1 (shorter-than-L suffixes participate as
+    # join targets for the rank chains of full-L positions)
+    pos = docs.select(
+        F.col(id_col).alias(id_col),
+        F.posexplode(F.split(F.col(text_col), "")).alias("pos", "ch"),
+    ).filter(F.length("ch") > 0)
+    # rank_1: dense rank of the character. Alphabet is bounded -> tiny frame.
+    alphabet = assign_dense_ranks(pos.select("ch").distinct(), ["ch"], "rank")
+    cur = pos.join(F.broadcast(alphabet), "ch").select(id_col, "pos", "rank")
+    d = 1
+    while 2 * d <= L:
+        shifted = cur.select(
+            F.col(id_col),
+            (F.col("pos") - d).alias("pos"),
+            F.col("rank").alias("rank2"),
+        )
+        joined = (
+            cur.join(shifted, [id_col, "pos"], "left")
+            .withColumn("rank2", F.coalesce("rank2", F.lit(-1)))
+        )
+        cur = assign_dense_ranks(joined, ["rank", "rank2"], "rank_new").select(
+            id_col, "pos", F.col("rank_new").alias("rank")
+        )
+        d *= 2
+    # final non-pow2 combine: key over [p, p+L) = (rank_d[p], rank_d[p+L-d])
+    full = doc_positions(docs, L, id_col, text_col)
+    keyed = full.join(cur.select(id_col, "pos", F.col("rank").alias("key1")), [id_col, "pos"])
+    if d < L:
+        off = L - d
+        shifted = cur.select(
+            F.col(id_col), (F.col("pos") - off).alias("pos"), F.col("rank").alias("key2")
+        )
+        keyed = keyed.join(shifted, [id_col, "pos"])
+    else:
+        keyed = keyed.withColumn("key2", F.lit(0).cast("long"))
+    return keyed.select(id_col, "pos", "key1", "key2")
+
+
+# ---------------------------------------------------------------------------
+# duplicated positions / spans (all methods)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_positions(
+    docs: DataFrame,
+    L: int,
+    method: str = "rolling",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id, pos): every position whose L-gram occurs >= 2 times anywhere
+    in the corpus (cross-doc or same-doc at a different offset)."""
+    if method == "direct":
+        grams = lgrams_direct(docs, L, id_col, text_col)
+        dup_keys = grams.groupBy("gram").count().filter(F.col("count") >= 2).select("gram")
+        return grams.join(dup_keys, "gram").select(id_col, "pos")
+    if method == "rolling":
+        hashes = lgram_hashes(docs, L, id_col, text_col)
+        cand_h = hashes.groupBy("h").count().filter(F.col("count") >= 2).select("h")
+        cand = hashes.join(cand_h, "h")
+        # exact verification of hash-candidate groups: re-extract the gram for
+        # candidates only and regroup (collisions cannot survive)
+        with_gram = cand.join(docs.select(id_col, text_col), id_col).select(
+            id_col, "pos", F.col(text_col).substr(F.col("pos") + 1, F.lit(L)).alias("gram")
+        )
+        dup_keys = with_gram.groupBy("gram").count().filter(F.col("count") >= 2).select("gram")
+        return with_gram.join(dup_keys, "gram").select(id_col, "pos")
+    if method == "sa":
+        ranks = truncated_suffix_ranks(docs, L, id_col, text_col)
+        dup_keys = (
+            ranks.groupBy("key1", "key2").count().filter(F.col("count") >= 2).select("key1", "key2")
+        )
+        return ranks.join(dup_keys, ["key1", "key2"]).select(id_col, "pos")
+    raise ValueError(f"unknown method {method!r}")
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    L: int,
+    method: str = "rolling",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id, span_start, span_end, n_dup_grams): per document, the merged
+    character spans covered by duplicated L-grams (span_end exclusive).
+    Two dup positions merge when their [p, p+L) intervals overlap or touch
+    (gap > L splits).  The per-doc window is bounded by document length —
+    safe at any corpus scale."""
+    dup = duplicated_positions(docs, L, method, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = dup.withColumn(
+        "brk",
+        F.when(
+            F.lag("pos").over(w).isNull() | ((F.col("pos") - F.lag("pos").over(w)) > L),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return islands.groupBy(id_col, "island").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") + L).cast("int").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+    ).drop("island")
