@@ -906,6 +906,18 @@ dups AS (
 )
 """
 
+def q_suffix_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned corpus after the exact-substring pass: every duplicated span
+    stripped from every document (Lee et al. ExactSubstr semantics), rebuilt
+    JVM-side with a higher-order fold over the merged spans — the value hash
+    certifies the reconstructed text character-for-character."""
+    from deduputil_spark.operators.suffixarray import strip_duplicated_spans
+
+    return strip_duplicated_spans(_docs(spark, sf_dir), SUFFIX_L, method="rolling").select(
+        "doc_id", "clean_text", "n_stripped"
+    )
+
+
 SQL_SUFFIX_DUP_POSITIONS = SQL_SUFFIX_GRAMS + "SELECT doc_id, pos FROM dups"
 
 SQL_SUFFIX_SPANS = SQL_SUFFIX_GRAMS + f""",
@@ -925,6 +937,44 @@ SELECT doc_id,
        CAST(max(pos) + {SUFFIX_L} AS INT) AS span_end,
        CAST(count(*) AS BIGINT) AS n_dup_grams
 FROM islands GROUP BY doc_id, island
+"""
+
+SQL_SUFFIX_STRIP = SQL_SUFFIX_GRAMS + f""",
+flagged AS (
+  SELECT doc_id, pos,
+    CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > {SUFFIX_L}
+         THEN 1 ELSE 0 END AS brk
+  FROM dups WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+islands AS (
+  SELECT doc_id, pos,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {SUFFIX_L} AS e
+  FROM islands GROUP BY doc_id, island
+),
+ordered AS (
+  SELECT doc_id, s, e, lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+  FROM spans
+),
+pieces AS (
+  SELECT doc_id, prev_e AS seg_start, s AS seg_end FROM ordered
+  UNION ALL
+  SELECT o.doc_id, max(o.e), max(length(d.text))
+  FROM ordered o JOIN documents d USING (doc_id) GROUP BY o.doc_id
+),
+cleaned AS (
+  SELECT p.doc_id,
+         string_agg(substr(d.text, p.seg_start + 1, p.seg_end - p.seg_start), '' ORDER BY p.seg_start) AS clean_text
+  FROM pieces p JOIN documents d USING (doc_id)
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       coalesce(c.clean_text, d.text) AS clean_text,
+       CAST(length(d.text) - length(coalesce(c.clean_text, d.text)) AS BIGINT) AS n_stripped
+FROM documents d LEFT JOIN cleaned c USING (doc_id)
 """
 
 
@@ -1088,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_quality": _scoped(q_hash_quality),
         "suffix_dup_positions": _scoped(q_suffix_dup_positions),
         "suffix_spans": _scoped(q_suffix_spans),
+        "suffix_strip": _scoped(q_suffix_strip),
         "cdc_chunk_stats": _scoped(q_cdc_chunk_stats),
         "transcript_clusters": _scoped(q_transcript_clusters),
         "roundtrip_check": _scoped(q_roundtrip_check),
@@ -1124,6 +1175,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_quality": SQL_HASH_QUALITY,
         "suffix_dup_positions": SQL_SUFFIX_DUP_POSITIONS,
         "suffix_spans": SQL_SUFFIX_SPANS,
+        "suffix_strip": SQL_SUFFIX_STRIP,
         "roundtrip_check": SQL_ROUNDTRIP,
         # The three non-SQL-expressible queries (pandas-UDF CDC walks, full
         # minhash/LSH pipeline) are HARD-oracled via golden fixtures: their

@@ -327,3 +327,48 @@ def duplicated_spans(
         (F.max("pos") + L).cast("int").alias("span_end"),
         F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
     ).drop("island")
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    L: int,
+    method: str = "rolling",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> original doc columns + (clean_text, n_stripped): each document's
+    text with every duplicated span removed — the cleaned-corpus output of
+    the exact-substring dedup pass (Lee et al. 2021 ExactSubstr semantics:
+    ALL copies of duplicated text are stripped; models tolerate the removal
+    and the dedup is what matters).
+
+    The rebuild is pure JVM: spans are already merged and non-overlapping
+    (`duplicated_spans`), so per doc we sort them and fold with
+    ``F.aggregate``, concatenating the kept segments between consecutive
+    spans — no UDF, no explode back, one narrow join of docs against the
+    per-doc span arrays (span counts are tiny relative to text)."""
+    spans = duplicated_spans(docs, L, method, id_col, text_col)
+    span_arr = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e")))
+        ).alias("_spans")
+    )
+    joined = docs.join(span_arr, id_col, "left").withColumn(
+        "_spans",
+        F.coalesce(F.col("_spans"), F.array().cast("array<struct<s:int,e:int>>")),
+    )
+    text = F.col(text_col)
+    clean = F.aggregate(
+        F.col("_spans"),
+        F.struct(F.lit(0).cast("int").alias("prev"), F.lit("").alias("acc")),
+        lambda st, sp: F.struct(
+            sp["e"].alias("prev"),
+            F.concat(st["acc"], text.substr(st["prev"] + 1, sp["s"] - st["prev"])).alias("acc"),
+        ),
+        lambda st: F.concat(st["acc"], text.substr(st["prev"] + 1, F.length(text) - st["prev"])),
+    )
+    return (
+        joined.withColumn("clean_text", clean)
+        .withColumn("n_stripped", (F.length(text) - F.length("clean_text")).cast("long"))
+        .drop("_spans")
+    )

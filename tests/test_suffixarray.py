@@ -15,6 +15,7 @@ from deduputil_spark.operators.suffixarray import (
     duplicated_positions,
     duplicated_spans,
     lgram_hashes,
+    strip_duplicated_spans,
     truncated_suffix_ranks,
 )
 
@@ -174,6 +175,43 @@ def test_truncated_ranks_group_by_prefix(spark):
     keys = {r.doc_id: (r.key1, r.key2) for r in ranks}
     assert keys[1] == keys[2]  # same first 6 chars
     assert keys[3] != keys[1]
+
+
+def brute_clean(docs: list[tuple[int, str]], L: int) -> dict[int, str]:
+    dup = brute_dup_positions(docs, L)
+    out = {}
+    for i, t in docs:
+        covered = [False] * len(t)
+        for d, p in dup:
+            if d == i:
+                for j in range(p, p + L):
+                    covered[j] = True
+        out[i] = "".join(c for c, cov in zip(t, covered) if not cov)
+    return out
+
+
+def test_strip_duplicated_spans_vs_brute(docs_df):
+    exp = brute_clean(DOCS, 3)
+    for method in ("rolling", "direct"):
+        got = {r.doc_id: r.clean_text for r in strip_duplicated_spans(docs_df, 3, method).collect()}
+        assert got == exp, method
+    # n_stripped matches, original columns preserved
+    rows = strip_duplicated_spans(docs_df, 3).collect()
+    for r in rows:
+        assert r.n_stripped == len(r.text) - len(r.clean_text)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="abz", min_size=0, max_size=30), min_size=1, max_size=5),
+    L=st.integers(min_value=2, max_value=5),
+)
+def test_property_strip_matches_brute(spark, texts, L):
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    exp = brute_clean(docs, L)
+    got = {r.doc_id: r.clean_text for r in strip_duplicated_spans(df, L, "rolling").collect()}
+    assert got == exp, (texts, L)
 
 
 def test_all_unique_corpus_empty(spark):
