@@ -889,7 +889,8 @@ def q_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the wire, candidates re-verified against the actual gram."""
     from deduputil_spark.operators.suffixarray import duplicated_spans
 
-    return duplicated_spans(_docs(spark, sf_dir), SUFFIX_L, method="rolling").select(
+    docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    return duplicated_spans(docs, SUFFIX_L, method="rolling").select(
         "doc_id", "span_start", "span_end", "n_dup_grams"
     )
 
@@ -913,7 +914,8 @@ def q_suffix_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the reconstructed text character-for-character."""
     from deduputil_spark.operators.suffixarray import strip_duplicated_spans
 
-    return strip_duplicated_spans(_docs(spark, sf_dir), SUFFIX_L, method="rolling").select(
+    docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    return strip_duplicated_spans(docs, SUFFIX_L, method="rolling").select(
         "doc_id", "clean_text", "n_stripped"
     )
 

@@ -105,44 +105,117 @@ def lgram_hashes(
     h(p) = (S[p+L] - S[p]) * B^{-p}  (mod 2^64), S = prefix sums of
     codepoint[i] * B^i.  All arithmetic is uint64 wraparound (numpy), i.e.
     exact mod-2^64; equal grams always hash equal.  8 bytes/position on the
-    wire — the reason this is the 100-TB path."""
+    wire — the reason this is the 100-TB path.
+
+    The hot path is batch-global and zero-copy: because the B^{-p}
+    normalization makes a gram's hash independent of its position, the
+    prefix arithmetic runs ONCE over the whole Arrow UTF-8 values buffer
+    (docs are contiguous segments of it; byte == codepoint below 0x80), into
+    scratch buffers reused across batches (fresh >1MB temps page-fault-churn
+    on this class of host — see BENCH/BASELINE.md round-4 allocator note).
+    Measured 3× the per-doc-numpy form single-threaded (37 vs 12.6 Mchar/s
+    on the sf0.1 documents table).  Only docs containing multibyte chars
+    drop to a per-doc ``as_py().encode("utf-32")`` path so positions stay
+    exact CHARACTER offsets; both paths produce identical hashes for
+    identical grams (ASCII codepoints equal their byte values)."""
     import numpy as np
     import pyarrow as pa
+
+    from deduputil_spark.operators.minhash import utf8_buffer_view
 
     id_field = docs.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_field}, pos int, h bigint"
     Lc = int(L)
 
+    def _doc_hashes(cp: np.ndarray) -> np.ndarray:
+        """Exact per-doc fallback (multibyte docs / exotic Arrow layouts)."""
+        n = cp.size
+        with np.errstate(over="ignore"):
+            pw = np.empty(n, dtype=np.uint64)
+            pw[0] = 1
+            if n > 1:
+                np.cumprod(np.full(n - 1, _B, dtype=np.uint64), out=pw[1:])
+            terms = cp.astype(np.uint64) * pw
+            S = np.empty(n + 1, dtype=np.uint64)
+            S[0] = 0
+            np.cumsum(terms, out=S[1:])
+            ipw = np.empty(n - Lc + 1, dtype=np.uint64)
+            ipw[0] = 1
+            if n - Lc > 0:
+                np.cumprod(np.full(n - Lc, _BINV, dtype=np.uint64), out=ipw[1:])
+            return (S[Lc:] - S[: n - Lc + 1]) * ipw
+
     def batches(it):
+        scratch: dict[str, np.ndarray] = {}
+
+        def buf(name: str, n: int) -> np.ndarray:
+            b = scratch.get(name)
+            if b is None or b.size < n:
+                b = np.empty(int(n * 1.25) + 8, dtype=np.uint64)
+                b[:] = 0  # pre-fault once; reused across batches thereafter
+                scratch[name] = b
+            return b[:n]
+
         for batch in it:
             ids_col = batch.column(0)
             texts = batch.column(1)
+            view = utf8_buffer_view(texts)
             out_ids, out_pos, out_h = [], [], []
-            for i in range(batch.num_rows):
+            mb_rows: set[int] = set()
+            if view is not None:
+                data, bounds = view
+                n = data.size
+                if n:
+                    # docs containing any byte >= 0x80 leave the global path
+                    mb_rows = set(
+                        (np.searchsorted(bounds, np.flatnonzero(data >= 0x80), side="right") - 1).tolist()
+                    )
+                if n >= Lc:
+                    with np.errstate(over="ignore"):
+                        pw = buf("pw", n)
+                        pw[0] = 1
+                        base = buf("base", n)
+                        base[:] = _B
+                        np.cumprod(base[: n - 1], out=pw[1:])
+                        terms = buf("terms", n)
+                        np.multiply(data, pw, out=terms)  # uint8 broadcast-cast
+                        S = buf("S", n + 1)
+                        S[0] = 0
+                        np.cumsum(terms, out=S[1:])
+                        ipw = buf("ipw", n - Lc + 1)
+                        ipw[0] = 1
+                        base[:] = _BINV
+                        np.cumprod(base[: n - Lc], out=ipw[1:])
+                        h = buf("h", n - Lc + 1)
+                        np.subtract(S[Lc:], S[: n - Lc + 1], out=h)
+                        np.multiply(h, ipw, out=h)
+                    lens = np.diff(bounds)
+                    vc = np.maximum(lens - Lc + 1, 0)
+                    if mb_rows:
+                        vc[sorted(mb_rows)] = 0
+                    total = int(vc.sum())
+                    if total:
+                        row_idx = np.repeat(np.arange(len(vc), dtype=np.int64), vc)
+                        cum = np.zeros(len(vc) + 1, dtype=np.int64)
+                        np.cumsum(vc, out=cum[1:])
+                        pos = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], vc)
+                        g = np.repeat(bounds[:-1], vc) + pos
+                        out_ids.append(row_idx)
+                        out_pos.append(pos.astype(np.int32))
+                        out_h.append(h[g].view(np.int64))
+                rows_needing_python = sorted(mb_rows)
+            else:
+                rows_needing_python = range(batch.num_rows)
+            for i in rows_needing_python:
                 s = texts[i].as_py()
                 if s is None:
                     continue
                 cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
-                n = cp.size
-                if n < Lc:
+                if cp.size < Lc:
                     continue
-                with np.errstate(over="ignore"):
-                    pw = np.empty(n, dtype=np.uint64)
-                    pw[0] = 1
-                    if n > 1:
-                        np.cumprod(np.full(n - 1, _B, dtype=np.uint64), out=pw[1:])
-                    terms = cp.astype(np.uint64) * pw
-                    S = np.empty(n + 1, dtype=np.uint64)
-                    S[0] = 0
-                    np.cumsum(terms, out=S[1:])
-                    ipw = np.empty(n - Lc + 1, dtype=np.uint64)
-                    ipw[0] = 1
-                    if n - Lc > 0:
-                        np.cumprod(np.full(n - Lc, _BINV, dtype=np.uint64), out=ipw[1:])
-                    h = (S[Lc:] - S[: n - Lc + 1]) * ipw
-                out_ids.append(np.full(n - Lc + 1, i, dtype=np.int64))
-                out_pos.append(np.arange(n - Lc + 1, dtype=np.int32))
-                out_h.append(h.view(np.int64))
+                out_ids.append(np.full(cp.size - Lc + 1, i, dtype=np.int64))
+                out_pos.append(np.arange(cp.size - Lc + 1, dtype=np.int32))
+                out_h.append(_doc_hashes(cp).view(np.int64))
             if not out_ids:
                 continue
             row_idx = pa.array(np.concatenate(out_ids))
@@ -274,27 +347,33 @@ def duplicated_positions(
 ) -> DataFrame:
     """-> (id, pos): every position whose L-gram occurs >= 2 times anywhere
     in the corpus (cross-doc or same-doc at a different offset)."""
+    # "rows whose group has >= 2 members" via count() over a partition-only
+    # window: ONE exchange on the group key and a single pass over the input,
+    # vs groupBy+join's extra exchange AND double execution of the upstream
+    # mapInArrow lineage (ReuseExchange does not dedupe Python-UDF subtrees —
+    # the round-3 persist lesson).  Skew profile is identical (both shuffle
+    # the full frame on the group key).
+    def _keep_dup_groups(df: DataFrame, *key_cols: str) -> DataFrame:
+        w = Window.partitionBy(*key_cols)
+        return df.withColumn("_gcnt", F.count(F.lit(1)).over(w)).filter(
+            F.col("_gcnt") >= 2
+        ).drop("_gcnt")
+
     if method == "direct":
         grams = lgrams_direct(docs, L, id_col, text_col)
-        dup_keys = grams.groupBy("gram").count().filter(F.col("count") >= 2).select("gram")
-        return grams.join(dup_keys, "gram").select(id_col, "pos")
+        return _keep_dup_groups(grams, "gram").select(id_col, "pos")
     if method == "rolling":
         hashes = lgram_hashes(docs, L, id_col, text_col)
-        cand_h = hashes.groupBy("h").count().filter(F.col("count") >= 2).select("h")
-        cand = hashes.join(cand_h, "h")
+        cand = _keep_dup_groups(hashes, "h")
         # exact verification of hash-candidate groups: re-extract the gram for
         # candidates only and regroup (collisions cannot survive)
         with_gram = cand.join(docs.select(id_col, text_col), id_col).select(
             id_col, "pos", F.col(text_col).substr(F.col("pos") + 1, F.lit(L)).alias("gram")
         )
-        dup_keys = with_gram.groupBy("gram").count().filter(F.col("count") >= 2).select("gram")
-        return with_gram.join(dup_keys, "gram").select(id_col, "pos")
+        return _keep_dup_groups(with_gram, "gram").select(id_col, "pos")
     if method == "sa":
         ranks = truncated_suffix_ranks(docs, L, id_col, text_col)
-        dup_keys = (
-            ranks.groupBy("key1", "key2").count().filter(F.col("count") >= 2).select("key1", "key2")
-        )
-        return ranks.join(dup_keys, ["key1", "key2"]).select(id_col, "pos")
+        return _keep_dup_groups(ranks, "key1", "key2").select(id_col, "pos")
     raise ValueError(f"unknown method {method!r}")
 
 
