@@ -414,6 +414,7 @@ def strip_duplicated_spans(
     method: str = "rolling",
     id_col: str = "doc_id",
     text_col: str = "text",
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """-> original doc columns + (clean_text, n_stripped): each document's
     text with every duplicated span removed — the cleaned-corpus output of
@@ -425,8 +426,12 @@ def strip_duplicated_spans(
     (`duplicated_spans`), so per doc we sort them and fold with
     ``F.aggregate``, concatenating the kept segments between consecutive
     spans — no UDF, no explode back, one narrow join of docs against the
-    per-doc span arrays (span counts are tiny relative to text)."""
-    spans = duplicated_spans(docs, L, method, id_col, text_col)
+    per-doc span arrays (span counts are tiny relative to text).
+
+    Pass ``spans`` (a `duplicated_spans` result, e.g. a checkpointed stage
+    table) to skip recomputing the dup pass."""
+    if spans is None:
+        spans = duplicated_spans(docs, L, method, id_col, text_col)
     span_arr = spans.groupBy(id_col).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e")))
