@@ -238,3 +238,70 @@ def test_all_unique_corpus_empty(spark):
     )
     for method in ("direct", "rolling", "sa"):
         assert duplicated_positions(df, 4, method).count() == 0
+
+
+def test_mega_gram_skew_plan_and_correctness(spark):
+    """VERDICT r4 #1/#2: a corpus-scale hot gram (one 120-char block shared by
+    1000 docs -> ~10^5 positions of identical L-grams) must (a) produce the
+    exact dup set and (b) run through the skew-safe aggregate+semi-join form —
+    the physical plan must contain NO Window over the group key (a window
+    ships every raw row of the hot key to one task; the partial-combining
+    hash aggregate does not)."""
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdefghij "
+    hot = "".join(rng.choice(alpha) for _ in range(120))
+    rows = []
+    for i in range(1000):
+        pad = "".join(rng.choice(alpha) for _ in range(40))
+        rows.append((i, pad + hot))          # hot gram at ~101 positions/doc
+    rows.append((2000, "".join(rng.choice(alpha) for _ in range(200))))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    L = 20
+    dup = duplicated_positions(df, L, "rolling")
+    plan = dup._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "skewed window form resurfaced in rolling path"
+    assert "HashAggregate" in plan
+    got = dup.count()
+    # every hot-gram position in every doc is duplicated; pads are unique-ish
+    # (brute-check exact membership on a 20-doc sample to keep runtime low)
+    sample = [r for r in rows if r[0] < 20 or r[0] == 2000]
+    exp_sample = brute_dup_positions(rows, L)
+    got_sample = {
+        (r.doc_id, r.pos)
+        for r in dup.filter(F.col("doc_id").isin([r[0] for r in sample])).collect()
+    }
+    assert got_sample == {p for p in exp_sample if p[0] in {r[0] for r in sample}}
+    assert got == len(exp_sample)
+
+
+def test_sa_max_chars_guard(spark):
+    df = spark.createDataFrame([(1, "x" * 100)], "doc_id int, text string")
+    with pytest.raises(ValueError, match="max_chars"):
+        truncated_suffix_ranks(df, 4, max_chars=50)
+    # override works
+    assert truncated_suffix_ranks(df, 4, max_chars=None).count() == 97
+
+
+def test_rolling_parity_sf01_driver_table(spark):
+    """VERDICT r4 #7: certify the SCALE path (rolling) at the largest local
+    test size — sf0.1 documents (~1.5M chars), against the same DuckDB
+    direct-gram oracle the driver uses for suffix_dup_positions (which runs
+    the sa method at sf0.01).  Exact set equality, position-for-position."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    sf_dir = "/root/testdata/sf0.1"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    got = {
+        (r.doc_id, r.pos)
+        for r in duplicated_positions(docs, em.SUFFIX_L, "rolling").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = set(con.sql(em.SQL_SUFFIX_DUP_POSITIONS).fetchall())
+    assert got == exp
