@@ -136,6 +136,69 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     }
 
 
+def run_bench_bestof(sf_dir: str, cpus: int) -> dict:
+    """Official-artifact discipline (VERDICT r4 #1): the single-run driver
+    bench has twice landed in a slow host window (this VM's throughput drifts
+    ±50% across minutes) and misread as a regression.  Run the driver-shape
+    suite N times in FRESH JVM subprocesses, bracketed by the Spark-free
+    hardware probe, and report per-query minima — with every raw run and
+    every probe reading embedded in the artifact so a dirty window is
+    self-documenting."""
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    ensure_corpus(sf_dir)  # synthesis happens once, outside any timed leg
+    probes = [hardware_probe(reps=2)]
+    runs: list[dict] = []
+    failures: list[str] = []
+    for _ in range(n_runs):
+        env = dict(os.environ, SPARK_GRAFT_BENCH_ONCE="1",
+                   SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=3600,
+        )
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if lines:
+            runs.append(json.loads(lines[-1]))
+        else:
+            failures.append(f"exit {out.returncode}: {out.stderr[-500:]}")
+        probes.append(hardware_probe(reps=2))
+    if not runs:
+        raise RuntimeError(f"all {n_runs} bench runs failed: {failures}")
+    merged: dict[str, float] = {}
+    for r in runs:
+        for k, v in r["queries"].items():
+            merged[k] = v if k not in merged or v < merged[k] else merged[k]
+    total = round(sum(v for k, v in merged.items() if not k.startswith("stage_")), 3)
+    base = runs[0]
+    out = {
+        "metric": base["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": merged,
+        "sf": base["sf"],
+        "cpus": cpus,
+        "n_turns": base["n_turns"],
+        "turns_per_sec": round(base["n_turns"] / merged["pipeline_cluster"], 1),
+        "n_clustered_docs": base["n_clustered_docs"],
+        "discipline": f"per-query min over {len(runs)} fresh-JVM runs, "
+                      "probe-bracketed (VERDICT r4 #1)",
+        "run_totals": [r["value"] for r in runs],
+        "run_queries": [r["queries"] for r in runs],
+        "probes": [
+            {"stream_eff": p["stream"]["per_vcpu_eff"],
+             "alu_eff": p["alu"]["per_vcpu_eff"],
+             "stream_wall8": p["stream"]["walls"][8],
+             "alu_wall8": p["alu"]["walls"][8]}
+            for p in probes
+        ],
+    }
+    if "n_unique_blocks" in base:
+        out["n_unique_blocks"] = base["n_unique_blocks"]
+    if failures:
+        out["failed_runs"] = failures
+    return out
+
+
 SUFFIX_DOCS = int(os.environ.get("SPARK_GRAFT_SUFFIX_DOCS", "240000"))  # ~120M chars:
 # legs must be long enough that per-stage scheduling overhead (~3-5 s across
 # the ~30 stages) stays under ~5% of the 4N-side wall — the first 30M-char
@@ -149,7 +212,9 @@ def ensure_suffix_corpus() -> tuple[str, int]:
     lowercase+space text, 5% of docs carry one of 50 shared 120-char planted
     snippets (cross-doc substring dups), 2% are full-doc copies.  Cached;
     written with small row groups so the scan splits."""
-    out = os.path.join(CACHE_DIR, f"suffixdocs_{SUFFIX_DOCS}_seed42")
+    # _v2: full-doc copies resample the source while it equals the target
+    # (ADVICE r4 — the planted 2% rate was slightly deflated by self-copies)
+    out = os.path.join(CACHE_DIR, f"suffixdocs_{SUFFIX_DOCS}_seed42_v2")
     path = os.path.join(out, "documents.parquet")
     if not os.path.exists(path):
         import numpy as np
@@ -170,7 +235,10 @@ def ensure_suffix_corpus() -> tuple[str, int]:
             buf[bounds[i] + off : bounds[i] + off + 120] = snip
         texts = [buf[bounds[i] : bounds[i + 1]].tobytes().decode() for i in range(SUFFIX_DOCS)]
         for i in rng.choice(SUFFIX_DOCS, size=SUFFIX_DOCS // 50, replace=False):
-            texts[int(i)] = texts[int(rng.integers(0, SUFFIX_DOCS))]
+            j = int(rng.integers(0, SUFFIX_DOCS))
+            while j == int(i):
+                j = int(rng.integers(0, SUFFIX_DOCS))
+            texts[int(i)] = texts[j]
         os.makedirs(out, exist_ok=True)
         table = pa.table({"doc_id": pa.array(range(SUFFIX_DOCS), type=pa.int64()),
                           "text": pa.array(texts, type=pa.string())})
@@ -395,7 +463,7 @@ def run_scaling(sf_dir: str) -> None:
     for _ in range(n_pairs):
         for cpus in (lo, hi):
             env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus),
-                       SPARK_GRAFT_PIPELINE_ONLY="1")
+                       SPARK_GRAFT_PIPELINE_ONLY="1", SPARK_GRAFT_BENCH_ONCE="1")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
                 capture_output=True, text=True, timeout=3600,
@@ -516,6 +584,10 @@ if __name__ == "__main__":
         run_scaling_suffix()
     elif "--scaling" in sys.argv:
         run_scaling(sf_dir)
-    else:
+    elif os.environ.get("SPARK_GRAFT_BENCH_ONCE"):
+        # one leg of the best-of-N artifact: a single fresh-JVM suite run
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         print(json.dumps(run_bench(sf_dir, cpus)))
+    else:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench_bestof(sf_dir, cpus)))

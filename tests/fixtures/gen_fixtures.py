@@ -19,9 +19,11 @@ Independence from the distributed implementation:
   so a hash match certifies byte-exact CDC reconstruction with zero shared
   code;
 - transcript_clusters: ALL-PAIRS exact k-gram Jaccard (no MinHash, no LSH,
-  no candidate generation at all) + scalar union-find with min-conv_id
-  labels.  Equality with the pipeline output additionally certifies that LSH
-  banding missed NO above-threshold pair on this corpus.
+  no candidate generation, and — since VERDICT r4 #3 — no shared tokenizer
+  either: raw token tuples via an inline pure-Python splitter, no hashing)
+  + scalar union-find with min-conv_id labels.  Equality with the pipeline
+  output certifies that LSH banding missed NO above-threshold pair AND that
+  no token-/k-gram-hash collision flipped a threshold decision here.
 
 Run `python -m tests.fixtures.gen_fixtures` to (re)write the fixtures;
 tests/test_golden_fixtures.py regenerates into tmp and asserts byte-equality
@@ -33,13 +35,13 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 
 import numpy as np
 import pandas as pd
 
 from deduputil_spark.config import DedupConfig
 from deduputil_spark.functions.hashes import cdc_cuts_ref
-from deduputil_spark.operators.minhash import doc_kgram_hashes
 
 FIXTURE_DIR = os.path.dirname(os.path.abspath(__file__))
 DOC_SEP = "\n"
@@ -90,13 +92,33 @@ def gen_roundtrip_cdc(docs: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _kgram_set(text: str, k: int) -> frozenset:
+    """Pure-Python k-gram set over RAW token tuples — shares NO code (and no
+    hashing) with the implementation (VERDICT r4 #3: the fixture previously
+    imported doc_kgram_hashes, so a k-gram-hash bug could pass undetected).
+    Token definition mirrors the pipeline's documented semantics: split on
+    ASCII whitespace only (space \\t \\n \\r \\x0b \\x0c; exotic unicode
+    whitespace is token content).  Docs with 0 < n < k tokens contribute the
+    single gram of all their tokens; empty docs the empty set.  Because the
+    grams here are raw tuples (no cap, no hash), equality of the resulting
+    clusters with the pipeline output additionally certifies that neither
+    token-hash nor k-gram-hash collisions flipped any threshold decision on
+    this corpus."""
+    toks = [t for t in re.split("[ \t\n\r\x0b\x0c]+", text) if t]
+    if not toks:
+        return frozenset()
+    if len(toks) < k:
+        return frozenset([tuple(toks)])
+    return frozenset(tuple(toks[i : i + k]) for i in range(len(toks) - k + 1))
+
+
 def gen_transcript_clusters(docs: pd.DataFrame) -> pd.DataFrame:
     """Expected (conv_id, cluster_id): all-pairs exact k-gram Jaccard at the
     pipeline threshold, union-find, min-conv_id component labels, singletons
     labeled by themselves."""
     cfg = DedupConfig()
     ids = list(docs["conv_id"])
-    sets = [doc_kgram_hashes(t, cfg.shingle_k) for t in docs["doc_text"]]
+    sets = [_kgram_set(t, cfg.shingle_k) for t in docs["doc_text"]]
     parent = {c: c for c in ids}
 
     def find(x: str) -> str:
@@ -116,7 +138,7 @@ def gen_transcript_clusters(docs: pd.DataFrame) -> pd.DataFrame:
         si = sets[i]
         for j in range(i + 1, n):
             sj = sets[j]
-            inter = np.intersect1d(si, sj, assume_unique=True).size
+            inter = len(si & sj)
             if inter == 0:
                 continue
             union_sz = len(si) + len(sj) - inter
