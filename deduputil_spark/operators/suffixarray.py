@@ -392,17 +392,39 @@ def _dup_keys(df: DataFrame, *key_cols: str) -> DataFrame:
     )
 
 
-def _filter_dup_groups(df: DataFrame, *key_cols: str) -> DataFrame:
+#: broadcast budget for a dup-key set in the semi-join back (raw key bytes).
+#: 2.3M 8-byte dup hashes on the 120M-char bench corpus is ~18 MB — just over
+#: AQE's 10 MB default, which silently turned the semi-join into a SECOND
+#: full shuffle of all O(positions) rows and tripled the 2-core leg wall.
+#: Executors comfortably hold a 64 MB hash relation; past the budget the
+#: plain shuffle semi-join (AQE skew-splittable) is the correct fallback.
+DUP_KEY_BCAST_BYTES = 64 << 20
+
+
+def _filter_dup_groups(
+    df: DataFrame, *key_cols: str, key_bytes: int | None = None
+) -> DataFrame:
     """Rows whose key tuple occurs >= 2 times: skew-safe aggregate prefilter
-    (`_dup_keys`) + LEFT SEMI join back.  In the common corpus (duplicates
-    are the minority) the dup-key set is small enough for AQE to broadcast,
-    so the big O(positions) frame never shuffles at all; when it is not
-    broadcastable the semi-join is a streaming hash probe that AQE skew-join
-    can split, unlike a window, which cannot.  Cost: the input lineage
-    executes twice (once per join side) — for the narrow mapInArrow hash map
-    that recompute is deliberate, far cheaper at corpus scale than persisting
-    O(total_chars) rows (Lee et al. recompute-over-materialize tradeoff)."""
-    return df.join(_dup_keys(df, *key_cols), list(key_cols), "left_semi")
+    (`_dup_keys`) + LEFT SEMI join back.
+
+    When `key_bytes` (estimated bytes per key tuple) is given, the dup-key
+    set is eagerly checkpointed, counted (free off the checkpoint), and
+    BROADCAST when it fits DUP_KEY_BCAST_BYTES — then the big O(positions)
+    frame never shuffles at all: the only full exchange in the whole filter
+    is the partial-count aggregate, and the probe side streams map-side.
+    Past the budget (or with key_bytes=None) the semi-join shuffles both
+    sides — a streaming hash probe AQE skew-join can split, unlike a window.
+
+    Cost: the input lineage executes twice (once per join side) — for the
+    narrow mapInArrow hash map that recompute is deliberate, far cheaper at
+    corpus scale than persisting O(total_chars) rows (Lee et al.
+    recompute-over-materialize tradeoff)."""
+    dup = _dup_keys(df, *key_cols)
+    if key_bytes is not None:
+        dup = dup.localCheckpoint(eager=True)
+        if dup.count() * key_bytes <= DUP_KEY_BCAST_BYTES:
+            dup = F.broadcast(dup)
+    return df.join(dup, list(key_cols), "left_semi")
 
 
 def duplicated_positions(
@@ -425,10 +447,11 @@ def duplicated_positions(
         return _filter_dup_groups(grams, "gram").select(id_col, "pos")
     if method == "rolling":
         hashes = lgram_hashes(docs, L, id_col, text_col)
-        # prefilter: the only full-corpus exchange left is the 8B-per-distinct-
-        # hash partial-count aggregate; positions themselves reach a shuffle
-        # only if the dup-hash set outgrows the broadcast threshold
-        cand = hashes.join(_dup_keys(hashes, "h"), ["h"], "left_semi")
+        # prefilter: the only full-corpus exchange is the 8B-per-distinct-hash
+        # partial-count aggregate; positions themselves never shuffle while
+        # the dup-hash set fits the broadcast budget (key_bytes=8 → the
+        # semi-probe runs map-side over the recomputed narrow hash map)
+        cand = _filter_dup_groups(hashes, "h", key_bytes=8)
         # candidates (bounded by the corpus dup volume) are materialized once —
         # they feed the docs prune AND the gram verify below
         cand = cand.localCheckpoint(eager=False)
@@ -442,7 +465,10 @@ def duplicated_positions(
         with_gram = cand.join(cand_docs, id_col).select(
             id_col, "pos", F.col(text_col).substr(F.col("pos") + 1, F.lit(L)).alias("gram")
         )
-        return _filter_dup_groups(with_gram, "gram").select(id_col, "pos")
+        # dup grams are UTF-8 strings of length L (≈4L bytes worst case)
+        return _filter_dup_groups(with_gram, "gram", key_bytes=4 * L).select(
+            id_col, "pos"
+        )
     if method == "sa":
         # the keyed frame's lineage (log L prefix-doubling rounds) is expensive;
         # checkpoint it so the filter's two join sides don't re-run the rounds
