@@ -326,7 +326,9 @@ def run_scaling_suffix() -> None:
     pair_clean = [_win_ok(i) for i in range(n_pairs)]
     root = os.path.dirname(os.path.abspath(__file__))
     os.makedirs(os.path.join(root, "BENCH"), exist_ok=True)
-    md = os.path.join(root, "BENCH", "SCALING_suffix.md")
+    # _last: raw per-run output; BENCH/SCALING_suffix.md is the curated
+    # rolling record across runs and must not be clobbered by a new run.
+    md = os.path.join(root, "BENCH", "SCALING_suffix_last.md")
     best_lo = max(r["chars_per_sec"] for r in runs[lo])
     best_hi = max(r["chars_per_sec"] for r in runs[hi])
     with open(md, "w") as f:
@@ -395,6 +397,33 @@ def _probe_task(kind: str, q) -> None:
         q.put(time.monotonic() - t0)
 
 
+def _disk_probe(mb: int = 256) -> dict:
+    """Sequential write+fsync bandwidth of /tmp — where Spark's shuffle files
+    and localCheckpoint spill land (spark.local.dir).  Diagnostic-only: NOT
+    part of the clean-window criterion (which stays ALU+STREAM so round-3/4
+    pairs remain comparable), but recorded per-probe because checkpoint-heavy
+    workloads (the suffix pass) can stall on a disk-slow window that the
+    CPU/DRAM probes read as clean (r5 suffix pair 1: both legs 3x slow, ALU
+    0.95+/stream 0.95+ — invisible to the old probe).  Read-back is skipped
+    deliberately: as root the page cache would serve it, measuring memcpy."""
+    import tempfile
+
+    chunk = os.urandom(1 << 20)
+    fd, p = tempfile.mkstemp(prefix="probe_disk_", dir="/tmp")
+    try:
+        t0 = time.monotonic()
+        with os.fdopen(fd, "wb") as f:
+            for _ in range(mb):
+                f.write(chunk)
+            f.flush()
+            os.fsync(f.fileno())
+        wall = time.monotonic() - t0
+    finally:
+        os.unlink(p)
+    return {"write_mb": mb, "wall": round(wall, 3),
+            "mb_per_sec": round(mb / wall, 1)}
+
+
 def hardware_probe(workers=(2, 8), reps: int = 3) -> dict:
     """Per-vCPU throughput ceiling of THIS host at each worker count, measured
     with Spark completely out of the picture (multiprocessing + numpy): the
@@ -429,6 +458,8 @@ def hardware_probe(workers=(2, 8), reps: int = 3) -> dict:
         ws = {w: round(v, 3) for w, v in walls[kind].items()}
         out[kind] = {"walls": ws, "per_vcpu_eff": round(min(ws[lo] / ws[hi], 1.0), 3)}
     out["cpu_mhz"] = _cpu_mhz_range()
+    out["disk"] = min((_disk_probe() for _ in range(2)),
+                      key=lambda d: d["wall"])
     return out
 
 
@@ -521,7 +552,9 @@ def run_scaling(sf_dir: str) -> None:
 
     root = os.path.dirname(os.path.abspath(__file__))
     os.makedirs(os.path.join(root, "BENCH"), exist_ok=True)
-    md = os.path.join(root, "BENCH", f"SCALING_{_sf_name(sf_dir)}.md")
+    # _last: raw per-run output; the curated rolling record (e.g.
+    # BENCH/SCALING_sfbig.md) is maintained by hand across runs.
+    md = os.path.join(root, "BENCH", f"SCALING_{_sf_name(sf_dir)}_last.md")
     with open(md, "w") as f:
         f.write(f"""# Scaling evidence — {_sf_name(sf_dir)} ({runs[hi][0]["n_turns"]} turns, seed 42)
 
