@@ -152,15 +152,9 @@ def run_bench_bestof(sf_dir: str, cpus: int) -> dict:
     for _ in range(n_runs):
         env = dict(os.environ, SPARK_GRAFT_BENCH_ONCE="1",
                    SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, timeout=3600,
-        )
-        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-        if lines:
-            runs.append(json.loads(lines[-1]))
-        else:
-            failures.append(f"exit {out.returncode}: {out.stderr[-500:]}")
+        res = _run_leg(env, f"bench local[{cpus}]", failures)
+        if res is not None:
+            runs.append(res)
         probes.append(hardware_probe(reps=2))
     if not runs:
         raise RuntimeError(f"all {n_runs} bench runs failed: {failures}")
@@ -287,6 +281,35 @@ def run_suffix_leg(cpus: int) -> dict:
     }
 
 
+#: per-leg subprocess timeout.  3600 s ate a whole scaling session when the
+#: host hit a ~4x-degraded window (r5): the first 2-core leg timed out and
+#: the unhandled TimeoutExpired aborted every remaining pair.  Legs now get
+#: longer rope and a lost leg skips ONLY its pair (recorded in the report).
+LEG_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_LEG_TIMEOUT", "5400"))
+
+
+def _run_leg(env: dict, what: str, failures: list[str]) -> dict | None:
+    """One fresh-JVM bench leg.  Returns its JSON dict, or None (appending
+    the reason to `failures`) on timeout / crash / missing output — a
+    degraded host window must cost one pair, not the whole session."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=LEG_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        failures.append(f"{what}: timed out after {LEG_TIMEOUT_S}s")
+        return None
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        failures.append(
+            f"{what}: no JSON (exit {out.returncode}); stderr tail: "
+            + out.stderr[-500:].replace("\n", " | ")
+        )
+        return None
+    return json.loads(lines[-1])
+
+
 def run_scaling_suffix() -> None:
     """Second-workload scaling evidence (north rule): the suffix-pass rolling
     path at local[2] vs local[8], interleaved pairs bracketed by the same
@@ -296,30 +319,34 @@ def run_scaling_suffix() -> None:
     n_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2"))
     probes = [hardware_probe(workers=(lo, hi))]
     runs: dict[int, list[dict]] = {lo: [], hi: []}
-    for _ in range(n_pairs):
+    leg_failures: list[str] = []
+    pair_windows: list[int] = []
+    for attempt in range(n_pairs):
+        pair: dict[int, dict] = {}
         for cpus in (lo, hi):
             env = dict(os.environ, SPARK_GRAFT_SUFFIX_LEG=str(cpus))
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=3600,
-            )
-            lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-            if not lines:
-                raise RuntimeError(
-                    f"suffix leg local[{cpus}] produced no JSON "
-                    f"(exit {out.returncode}); stderr tail:\n{out.stderr[-2000:]}"
-                )
-            runs[cpus].append(json.loads(lines[-1]))
+            res = _run_leg(env, f"suffix local[{cpus}]", leg_failures)
+            if res is None:
+                break
+            pair[cpus] = res
+        if len(pair) == 2:
+            runs[lo].append(pair[lo])
+            runs[hi].append(pair[hi])
+            pair_windows.append(attempt)
         probes.append(hardware_probe(workers=(lo, hi)))
+    n_pairs = len(runs[lo])
+    if not n_pairs:
+        raise RuntimeError(f"every suffix scaling pair lost a leg: {leg_failures}")
     pair_effs = [
         round((h["chars_per_sec"] / l["chars_per_sec"]) / 4.0, 3)
         for l, h in zip(runs[lo], runs[hi])
     ]
 
     def _win_ok(i: int) -> bool:
+        w = pair_windows[i]
         return all(
             p[k]["per_vcpu_eff"] >= 0.9
-            for p in (probes[i], probes[i + 1])
+            for p in (probes[w], probes[w + 1])
             for k in ("stream", "alu")
         )
 
@@ -351,6 +378,7 @@ before/between/after.
 Best legs: {best_lo:,.0f} @{lo}c · {best_hi:,.0f} @{hi}c → best-legs efficiency
 {round(best_hi / best_lo / 4, 3)}.  n_spans identical across every leg
 ({runs[hi][0]['n_spans']:,} — correctness pinned at both widths).
+{chr(10).join("Failed leg (pair skipped): " + fl for fl in leg_failures)}
 
 ## Hardware probes
 
@@ -370,6 +398,7 @@ Best legs: {best_lo:,.0f} @{lo}c · {best_hi:,.0f} @{hi}c → best-legs efficien
         f"best{lo}": best_lo,
         f"best{hi}": best_hi,
         "best_legs_eff": round(best_hi / best_lo / 4, 3),
+        "failed_legs": leg_failures,
         "report": md,
     }))
 
@@ -491,22 +520,25 @@ def run_scaling(sf_dir: str) -> None:
 
     probes = [hardware_probe(workers=(lo, hi))]
     runs: dict[int, list[dict]] = {lo: [], hi: []}
-    for _ in range(n_pairs):
+    leg_failures: list[str] = []
+    pair_windows: list[int] = []  # probe-window index of each SUCCESSFUL pair
+    for attempt in range(n_pairs):
+        pair: dict[int, dict] = {}
         for cpus in (lo, hi):
             env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus),
                        SPARK_GRAFT_PIPELINE_ONLY="1", SPARK_GRAFT_BENCH_ONCE="1")
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=3600,
-            )
-            lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-            if not lines:
-                raise RuntimeError(
-                    f"scaling leg local[{cpus}] produced no JSON "
-                    f"(exit {out.returncode}); stderr tail:\n{out.stderr[-2000:]}"
-                )
-            runs[cpus].append(json.loads(lines[-1]))
+            res = _run_leg(env, f"pipeline local[{cpus}]", leg_failures)
+            if res is None:
+                break  # skip the pair; the host window ate a leg
+            pair[cpus] = res
+        if len(pair) == 2:
+            runs[lo].append(pair[lo])
+            runs[hi].append(pair[hi])
+            pair_windows.append(attempt)
         probes.append(hardware_probe(workers=(lo, hi)))
+    n_pairs = len(runs[lo])
+    if not n_pairs:
+        raise RuntimeError(f"every scaling pair lost a leg: {leg_failures}")
 
     thr_lo = max(r["turns_per_sec"] for r in runs[lo])
     thr_hi = max(r["turns_per_sec"] for r in runs[hi])
@@ -515,17 +547,20 @@ def run_scaling(sf_dir: str) -> None:
         round((h["turns_per_sec"] / l["turns_per_sec"]) / 4.0, 3)
         for l, h in zip(runs[lo], runs[hi])
     ]
-    # clean-window scoring (VERDICT r3 #4): pair i ran between probes[i] and
-    # probes[i+1]; score it only if BOTH bracketing probes saw the host's
-    # per-vCPU ceiling >= 0.9 for BOTH kinds — streaming (DRAM contention)
-    # AND ALU (the 2-worker boost-clock headroom: an ALU ceiling of 0.6 means
-    # the host itself runs each of 8 workers at 60% of a 2-worker clock, so a
-    # CPU-bound pair in that window CANNOT read 0.8 no matter the code).
-    # Pairs measured in a disturbed window mostly measure the disturbance.
+    # clean-window scoring (VERDICT r3 #4): successful pair i ran between
+    # probes[w] and probes[w+1] (w = pair_windows[i] — attempts whose pair
+    # lost a leg still appended a probe); score it only if BOTH bracketing
+    # probes saw the host's per-vCPU ceiling >= 0.9 for BOTH kinds —
+    # streaming (DRAM contention) AND ALU (the 2-worker boost-clock headroom:
+    # an ALU ceiling of 0.6 means the host itself runs each of 8 workers at
+    # 60% of a 2-worker clock, so a CPU-bound pair in that window CANNOT
+    # read 0.8 no matter the code).  Pairs measured in a disturbed window
+    # mostly measure the disturbance.
     def _win_ok(i: int) -> bool:
+        w = pair_windows[i]
         return all(
             p[k]["per_vcpu_eff"] >= 0.9
-            for p in (probes[i], probes[i + 1])
+            for p in (probes[w], probes[w + 1])
             for k in ("stream", "alu")
         )
 
@@ -535,8 +570,8 @@ def run_scaling(sf_dir: str) -> None:
     # ceiling (probe-adjacent normalization — the only comparison that means
     # anything on a host whose per-core clock depends on how many run)
     pair_alu_ceil = [
-        min(probes[i]["alu"]["per_vcpu_eff"], probes[i + 1]["alu"]["per_vcpu_eff"])
-        for i in range(n_pairs)
+        min(probes[w]["alu"]["per_vcpu_eff"], probes[w + 1]["alu"]["per_vcpu_eff"])
+        for w in pair_windows
     ]
     pair_norm = [
         round(e / c, 3) if c else None for e, c in zip(pair_effs, pair_alu_ceil)
@@ -590,6 +625,10 @@ and the cross-node traffic is O(docs) (signatures/bands/pairs), not O(text).
         for i, (l, h) in enumerate(zip(runs[lo], runs[hi])):
             f.write(f"| {i} | {l['turns_per_sec']} ({l['queries']['pipeline_cluster']} s) "
                     f"| {h['turns_per_sec']} ({h['queries']['pipeline_cluster']} s) | {pair_effs[i]} |\n")
+        if leg_failures:
+            f.write("\n## Failed legs (pair skipped, probe window kept)\n\n")
+            for fl in leg_failures:
+                f.write(f"- {fl}\n")
         f.write("\n## Hardware probes (walls in s; per-vCPU eff = wall@N / wall@4N)\n\n```json\n")
         f.write(json.dumps(probes, indent=2))
         f.write("\n```\n\n## Full leg outputs\n\n```json\n")
@@ -605,6 +644,7 @@ and the cross-node traffic is O(docs) (signatures/bands/pairs), not O(text).
         "stream_ceiling": stream_ceil,
         "alu_ceiling": alu_ceil,
         "normalized_vs_stream": norm_stream,
+        "failed_legs": leg_failures,
         "report": md,
     }))
 
