@@ -5,9 +5,11 @@ Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
 
---scaling: runs the transcript pipeline at local[8] and local[32] (N vs 4N
-cores — the sandbox evidence for the north rule's two-cluster-size criterion)
-in separate subprocesses and writes BENCH/BASELINE.md.
+--scaling: runs the transcript pipeline at local[N] and local[4N] cores
+(N = SPARK_GRAFT_SCALE_N, default 2 — the sandbox evidence for the north
+rule's two-cluster-size criterion) in separate subprocesses and writes
+BENCH/SCALING_<sf>_last.md; --scaling-suffix does the same for the
+exact-substring rolling pass.
 
 The transcript corpus is synthesized deterministically per scale factor and
 cached under /tmp/deduputil_bench (synthesis time is excluded from timings).
@@ -25,6 +27,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_BASE_CONVS = {"sf0.001": 400, "sf0.01": 3800, "sf0.1": 38000, "sfbig": 152000}
 CACHE_DIR = "/tmp/deduputil_bench"
+
+#: shared session conf for every bench leg.  On a slow/contended sandbox
+#: host a low-parallelism leg can stall the whole JVM (GC + compute) past
+#: Spark's default 120 s heartbeat window, at which point HeartbeatReceiver
+#: declares the in-process executor dead and tears the context down
+#: mid-job (observed r5: "no recent heartbeats: 321934 ms exceeds timeout
+#: 120000 ms" killed every 2-core suffix leg).  Benches measure dataflow,
+#: not liveness-detection latency — give the heartbeat generous rope.
+BENCH_CONF = {
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    "spark.network.timeout": "800s",
+    "spark.executor.heartbeatInterval": "30s",
+}
 
 
 def _sf_name(sf_dir: str) -> str:
@@ -61,7 +76,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus * 2, 16),
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")},
+        extra_conf=BENCH_CONF,
     )
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -255,7 +270,7 @@ def run_suffix_leg(cpus: int) -> dict:
         "suffix-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus * 2, 16),
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")},
+        extra_conf=BENCH_CONF,
     )
     docs = spark.read.parquet(path).repartition(spark.sparkContext.defaultParallelism)
 
@@ -265,8 +280,12 @@ def run_suffix_leg(cpus: int) -> dict:
         return time.monotonic() - t0, n_spans
 
     once()  # warm (JIT + shuffle service)
+    # SPARK_GRAFT_LEG_RUNS trims the in-JVM best-of-N on hosts where a 2-core
+    # leg alone runs ~15 min (r5's VM is ~3x slower per core than r3/r4's):
+    # warm + 1 measured still excludes cold-JIT noise, and the probe bracket
+    # plus interleaving carry the window evidence.
     best, n_spans = None, 0
-    for _ in range(2):
+    for _ in range(int(os.environ.get("SPARK_GRAFT_LEG_RUNS", "2"))):
         el, n_spans = once()
         best = el if best is None or el < best else best
     spark.stop()
@@ -321,62 +340,58 @@ def run_scaling_suffix() -> None:
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     leg_failures: list[str] = []
     pair_windows: list[int] = []
-    for attempt in range(n_pairs):
-        pair: dict[int, dict] = {}
-        for cpus in (lo, hi):
-            env = dict(os.environ, SPARK_GRAFT_SUFFIX_LEG=str(cpus))
-            res = _run_leg(env, f"suffix local[{cpus}]", leg_failures)
-            if res is None:
-                break
-            pair[cpus] = res
-        if len(pair) == 2:
-            runs[lo].append(pair[lo])
-            runs[hi].append(pair[hi])
-            pair_windows.append(attempt)
-        probes.append(hardware_probe(workers=(lo, hi)))
-    n_pairs = len(runs[lo])
-    if not n_pairs:
-        raise RuntimeError(f"every suffix scaling pair lost a leg: {leg_failures}")
-    pair_effs = [
-        round((h["chars_per_sec"] / l["chars_per_sec"]) / 4.0, 3)
-        for l, h in zip(runs[lo], runs[hi])
-    ]
-
-    def _win_ok(i: int) -> bool:
-        w = pair_windows[i]
-        return all(
-            p[k]["per_vcpu_eff"] >= 0.9
-            for p in (probes[w], probes[w + 1])
-            for k in ("stream", "alu")
-        )
-
-    pair_clean = [_win_ok(i) for i in range(n_pairs)]
     root = os.path.dirname(os.path.abspath(__file__))
     os.makedirs(os.path.join(root, "BENCH"), exist_ok=True)
     # _last: raw per-run output; BENCH/SCALING_suffix.md is the curated
     # rolling record across runs and must not be clobbered by a new run.
     md = os.path.join(root, "BENCH", "SCALING_suffix_last.md")
-    best_lo = max(r["chars_per_sec"] for r in runs[lo])
-    best_hi = max(r["chars_per_sec"] for r in runs[hi])
-    with open(md, "w") as f:
-        f.write(f"""# Scaling evidence — suffix-pass rolling path ({runs[hi][0]["n_chars"]:,} chars, seed 42)
+
+    def _summary() -> dict | None:
+        """Everything derivable from the pairs completed SO FAR."""
+        if not runs[lo]:
+            return None
+        pair_effs = [
+            round((h["chars_per_sec"] / l["chars_per_sec"]) / 4.0, 3)
+            for l, h in zip(runs[lo], runs[hi])
+        ]
+        pair_clean = [
+            all(
+                p[k]["per_vcpu_eff"] >= 0.9
+                for p in (probes[w], probes[w + 1])
+                for k in ("stream", "alu")
+            )
+            for w in pair_windows
+        ]
+        return {
+            "pair_effs": pair_effs,
+            "pair_clean": pair_clean,
+            "best_lo": max(r["chars_per_sec"] for r in runs[lo]),
+            "best_hi": max(r["chars_per_sec"] for r in runs[hi]),
+        }
+
+    def _emit_md(s: dict) -> None:
+        """(Re)write the report from current state — called after EVERY pair
+        so a session that dies mid-run (driver wall-clock, kill) still leaves
+        the completed pairs' evidence on disk."""
+        with open(md, "w") as f:
+            f.write(f"""# Scaling evidence — suffix-pass rolling path ({runs[hi][0]["n_chars"]:,} chars, seed 42)
 
 Second workload for the north rule's two-cluster-size criterion: the
 exact-substring pass (`duplicated_spans`, rolling hash, L={SUFFIX_L}) on the
-planted-dup documents corpus, local[{lo}] vs local[{hi}], {n_pairs}
-interleaved pairs, warm best-of-2 in-JVM legs, Spark-free hardware probe
+planted-dup documents corpus, local[{lo}] vs local[{hi}], {len(runs[lo])}
+interleaved pairs, warm best-of-N in-JVM legs, Spark-free hardware probe
 before/between/after.
 
 | pair | local[{lo}] chars/s | local[{hi}] chars/s | raw eff | window clean? |
 |---|---|---|---|---|
 """)
-        for i, (l, h) in enumerate(zip(runs[lo], runs[hi])):
-            f.write(f"| {i} | {l['chars_per_sec']:,.0f} ({l['value']} s) "
-                    f"| {h['chars_per_sec']:,.0f} ({h['value']} s) | {pair_effs[i]} "
-                    f"| {'yes' if pair_clean[i] else 'no'} |\n")
-        f.write(f"""
-Best legs: {best_lo:,.0f} @{lo}c · {best_hi:,.0f} @{hi}c → best-legs efficiency
-{round(best_hi / best_lo / 4, 3)}.  n_spans identical across every leg
+            for i, (l, h) in enumerate(zip(runs[lo], runs[hi])):
+                f.write(f"| {i} | {l['chars_per_sec']:,.0f} ({l['value']} s) "
+                        f"| {h['chars_per_sec']:,.0f} ({h['value']} s) | {s['pair_effs'][i]} "
+                        f"| {'yes' if s['pair_clean'][i] else 'no'} |\n")
+            f.write(f"""
+Best legs: {s['best_lo']:,.0f} @{lo}c · {s['best_hi']:,.0f} @{hi}c → best-legs efficiency
+{round(s['best_hi'] / s['best_lo'] / 4, 3)}.  n_spans identical across every leg
 ({runs[hi][0]['n_spans']:,} — correctness pinned at both widths).
 {chr(10).join("Failed leg (pair skipped): " + fl for fl in leg_failures)}
 
@@ -392,12 +407,32 @@ Best legs: {best_lo:,.0f} @{lo}c · {best_hi:,.0f} @{hi}c → best-legs efficien
 {json.dumps(runs, indent=2)}
 ```
 """)
+
+    for attempt in range(n_pairs):
+        pair: dict[int, dict] = {}
+        for cpus in (lo, hi):
+            env = dict(os.environ, SPARK_GRAFT_SUFFIX_LEG=str(cpus))
+            res = _run_leg(env, f"suffix local[{cpus}]", leg_failures)
+            if res is None:
+                break
+            pair[cpus] = res
+        if len(pair) == 2:
+            runs[lo].append(pair[lo])
+            runs[hi].append(pair[hi])
+            pair_windows.append(attempt)
+        probes.append(hardware_probe(workers=(lo, hi)))
+        s = _summary()
+        if s:
+            _emit_md(s)
+    s = _summary()
+    if s is None:
+        raise RuntimeError(f"every suffix scaling pair lost a leg: {leg_failures}")
     print(json.dumps({
-        "suffix_scaling_pairs": pair_effs,
-        "pair_clean": pair_clean,
-        f"best{lo}": best_lo,
-        f"best{hi}": best_hi,
-        "best_legs_eff": round(best_hi / best_lo / 4, 3),
+        "suffix_scaling_pairs": s["pair_effs"],
+        "pair_clean": s["pair_clean"],
+        f"best{lo}": s["best_lo"],
+        f"best{hi}": s["best_hi"],
+        "best_legs_eff": round(s["best_hi"] / s["best_lo"] / 4, 3),
         "failed_legs": leg_failures,
         "report": md,
     }))
