@@ -160,11 +160,23 @@ def run_bench_bestof(sf_dir: str, cpus: int) -> dict:
     every probe reading embedded in the artifact so a dirty window is
     self-documenting."""
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # wall budget: on the r5 slow host one driver-shape run can take 15-20
+    # min; rather than risk the caller's (driver's) own timeout producing NO
+    # artifact, stop adding legs once the budget is spent — the artifact then
+    # says min-over-fewer-runs, which the embedded probes contextualize.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2400"))
     ensure_corpus(sf_dir)  # synthesis happens once, outside any timed leg
+    t_start = time.monotonic()
     probes = [hardware_probe(reps=2)]
     runs: list[dict] = []
     failures: list[str] = []
-    for _ in range(n_runs):
+    for i in range(n_runs):
+        if runs and i > 0 and time.monotonic() - t_start > budget_s:
+            failures.append(
+                f"run {i} skipped: bench budget {budget_s:.0f}s spent "
+                f"({time.monotonic() - t_start:.0f}s elapsed)"
+            )
+            break
         env = dict(os.environ, SPARK_GRAFT_BENCH_ONCE="1",
                    SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
         res = _run_leg(env, f"bench local[{cpus}]", failures)
