@@ -179,11 +179,11 @@ GROUP BY 1
 # Shingling / MinHash / LSH / verify / cluster (md5 family — exact oracles)
 # ---------------------------------------------------------------------------
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingles(spark: SparkSession, sf_dir: str, distinct: bool = True) -> DataFrame:
     from deduputil_spark.operators.shingle import shingles
 
     docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("conv_id"), F.col("text").alias("doc_text"))
-    return shingles(docs, SHINGLE_K)
+    return shingles(docs, SHINGLE_K, distinct=distinct)
 
 
 SQL_SHINGLES = f"""
@@ -214,7 +214,10 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deduputil_spark.operators.minhash import lsh_bands, minhash_signatures
 
     cfg = DedupConfig(num_perm=NUM_PERM, lsh_bands=BANDS, lsh_rows=ROWS)
-    sigs = minhash_signatures(_doc_shingles(spark, sf_dir), cfg, family="md5")
+    # non-distinct shingles: MIN over the multiset equals MIN over the set,
+    # so the per-doc distinct's extra exchange buys nothing here — the min
+    # aggregate partial-combines map-side either way (one shuffle, not two)
+    sigs = minhash_signatures(_doc_shingles(spark, sf_dir, distinct=False), cfg, family="md5")
     return lsh_bands(sigs, cfg).select(F.col("conv_id").alias("doc_id"), "band_idx", "band_hash")
 
 
@@ -252,8 +255,14 @@ WHERE a.doc_id < b.doc_id
 
 def q_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard verify on LSH candidates — integer-exact (inter, union)."""
-    sh = _doc_shingles(spark, sf_dir)
-    pairs = q_lsh_candidates(spark, sf_dir)
+    from deduputil_spark.cache import track
+
+    # sh feeds three consumers (sizes + both join sides) and pairs feeds two
+    # (the inter join + the final assembly); persisted (caller releases via
+    # the _scoped wrapper) so the tokenize/distinct and the whole LSH subtree
+    # execute once instead of per consumer
+    sh = track(_doc_shingles(spark, sf_dir))
+    pairs = track(q_lsh_candidates(spark, sf_dir))
     sizes = sh.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("conv_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("conv_id").alias("doc_b"), "shingle")

@@ -180,8 +180,12 @@ def _driver_union_find(pairs: DataFrame, all_vertices: DataFrame | None) -> Data
             parent[x], x = root, parent[x]
         return root
 
-    for row in pairs.select("conv_a", "conv_b").toLocalIterator():
-        ra, rb = find(row["conv_a"]), find(row["conv_b"])
+    # ONE Arrow collect: toLocalIterator launches a job per partition
+    # sequentially (64 mini-jobs ≈ 4 s of scheduler round-trips at local[32])
+    # and this path is already bounded by driver_threshold edges
+    pdf = pairs.select("conv_a", "conv_b").toPandas()
+    for a, b in zip(pdf["conv_a"], pdf["conv_b"]):
+        ra, rb = find(a), find(b)
         if ra != rb:
             # union by canonical min so roots stay the min conv_id
             lo, hi = (ra, rb) if ra < rb else (rb, ra)

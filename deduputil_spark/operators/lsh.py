@@ -32,7 +32,9 @@ from deduputil_spark.cache import track
 from deduputil_spark.config import DedupConfig
 
 
-def candidate_pairs(bands: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+def candidate_pairs(
+    bands: DataFrame, cfg: DedupConfig | None = None, persist_bands: bool = True
+) -> DataFrame:
     """(conv_id, band_idx, band_hash) -> distinct (conv_a, conv_b), conv_a < conv_b.
 
     ONE fused self-join (was three: cold / hot-within / hot-ring, each
@@ -59,8 +61,14 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig | None = None) -> DataFra
 
     # bands feeds the bucket-size aggregate AND the self-join input; persist
     # it (tracked — caller releases, cache.py) or its upstream — typically the
-    # expensive minhash map — re-executes once per consumer
-    bands = track(bands)
+    # expensive minhash map — re-executes once per consumer.  Callers that
+    # already persist the upstream SIGNATURE table pass persist_bands=False:
+    # caching the exploded band table costs bands× the rows of the sig cache
+    # for the same information, and re-deriving bands from cached sigs is one
+    # cheap JVM explode per consumer (measured ~5 s of cache-write saved at
+    # sf0.1).
+    if persist_bands:
+        bands = track(bands)
     sizes = bands.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("bsz"))
     multi = sizes.filter(F.col("bsz") > 1)
     b = bands.join(multi, ["band_idx", "band_hash"], "inner")

@@ -339,7 +339,9 @@ def lsh_bands(
     compact fixed-width key that DuckDB reproduces exactly (the oracle form).
     band_key="xxhash": xxhash64 of the sliced long array directly — no string
     construction, the pipeline fast path (same banding semantics: equal
-    band ⇔ equal row signatures, collisions 2^-64)."""
+    band ⇔ equal row signatures, collisions 2^-64); band_hash stays a LONG —
+    8 bytes per row through the band exchange/aggregate instead of a 19-20
+    char string (guide §2.3 narrower types; equality classes unchanged)."""
     cfg = cfg or DedupConfig()
     r = cfg.lsh_rows
     if band_key == "md5":
@@ -350,7 +352,7 @@ def lsh_bands(
             )
         )
     elif band_key == "xxhash":
-        key = lambda b: F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).cast("string")  # noqa: E731
+        key = lambda b: F.xxhash64(F.slice(F.col("sig"), b * r + 1, r))  # noqa: E731
     else:
         raise ValueError(f"unknown band_key {band_key!r}")
     bands = signatures.select(

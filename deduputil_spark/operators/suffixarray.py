@@ -43,6 +43,8 @@ Per-doc numpy work is cache-resident (docs are KBs) — no batch-global temps
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -50,6 +52,61 @@ from pyspark.sql import functions as F
 _B = 0x9E3779B97F4A7C15 | 1
 _BINV = pow(_B, -1, 1 << 64)
 _MASK64 = (1 << 64) - 1
+
+
+# ---------------------------------------------------------------------------
+# adaptive persist-vs-recompute for the rolling prefilter (VERDICT r5 #1)
+# ---------------------------------------------------------------------------
+
+#: storage budget for persisting the narrow (id, pos, h) rolling-hash frame
+#: instead of recomputing it for both sides of the dup-group filter.  The
+#: recompute is the RIGHT default at corpus scale (persisting O(total_chars)
+#: rows of a 100-TB corpus is worse than one extra narrow map pass — Lee et
+#: al. recompute-over-materialize), but below the budget the persist removes
+#: the only duplicated heavy work in the rolling path — measured as the one
+#: r5 bench regression (suffix_spans 4.7 s vs 3.8 s).  Sized for aggregate
+#: cluster storage memory: default 8 GiB fits the local[32]/16 g bench JVM
+#: comfortably; a real cluster deployment should raise it to a fraction
+#: (~25-50%) of total executor storage via SPARK_GRAFT_SUFFIX_PERSIST_MB.
+SUFFIX_PERSIST_BYTES = int(os.environ.get("SPARK_GRAFT_SUFFIX_PERSIST_MB", "8192")) << 20
+
+#: estimated in-cache bytes per position row (8 B hash + 4 B pos + id +
+#: columnar-cache overhead) × positions-per-source-byte (positions ≈ chars;
+#: chars ≈ ~3× the source's compressed parquet stats).  Deliberately rough —
+#: the decision only needs order-of-magnitude accuracy, and both branches are
+#: correct.
+_PERSIST_EST_FACTOR = 48
+
+_LAST_PERSISTS: dict[int, list[DataFrame]] = {}  # id(session) -> frames from the previous rolling call
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate for `df` (file-stat based for scans) —
+    free, no job.  None when the estimate is unavailable or degenerate."""
+    try:
+        v = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString())
+    except Exception:
+        return None
+    return v if 0 < v < (1 << 50) else None
+
+
+def _release_rolling_persists(session) -> None:
+    """Drop the PREVIOUS rolling-path call's persists for this session (bench
+    legs call duplicated_spans repeatedly in one JVM; without this each call
+    would pin another O(positions) copy)."""
+    for old in _LAST_PERSISTS.pop(id(session), []):
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+
+
+def _persist_scoped(df: DataFrame) -> DataFrame:
+    """Persist `df` until the NEXT rolling-path call on the same session
+    (released by `_release_rolling_persists`, or by session teardown)."""
+    df = df.persist()
+    _LAST_PERSISTS.setdefault(id(df.sparkSession), []).append(df)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -447,10 +504,17 @@ def duplicated_positions(
         return _filter_dup_groups(grams, "gram").select(id_col, "pos")
     if method == "rolling":
         hashes = lgram_hashes(docs, L, id_col, text_col)
-        # prefilter: the only full-corpus exchange is the 8B-per-distinct-hash
-        # partial-count aggregate; positions themselves never shuffle while
-        # the dup-hash set fits the broadcast budget (key_bytes=8 → the
-        # semi-probe runs map-side over the recomputed narrow hash map)
+        # Adaptive persist-vs-recompute (VERDICT r5 #1): the narrow hash map
+        # feeds BOTH sides of the dup-group filter (count aggregate + semi-join
+        # probe).  Below the storage budget, persist it so the mapInArrow pass
+        # runs once; past it, recompute — persisting O(total_chars) rows at
+        # corpus scale costs more than the extra narrow pass.  The estimate is
+        # Catalyst's free file-stat size of the docs plan (no job).
+        _release_rolling_persists(docs.sparkSession)
+        est = _plan_size_bytes(docs)
+        fits_budget = est is not None and est * _PERSIST_EST_FACTOR <= SUFFIX_PERSIST_BYTES
+        if fits_budget:
+            hashes = _persist_scoped(hashes)
         cand = _filter_dup_groups(hashes, "h", key_bytes=8)
         # candidates (bounded by the corpus dup volume) are materialized once —
         # they feed the docs prune AND the gram verify below

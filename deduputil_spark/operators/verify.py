@@ -80,10 +80,11 @@ def jaccard_verify_docs(
     array, and |A∩B| is a JVM array_intersect per pair — so verification
     shuffles O(candidate_docs · set_size) longs once, and never touches
     non-candidate documents."""
+    # no .distinct() on members: LEFT SEMI dedups by construction, so the
+    # distinct's extra exchange+aggregate bought nothing (one stage saved)
     members = (
         pairs.select(F.col("conv_a").alias("conv_id"))
         .unionByName(pairs.select(F.col("conv_b").alias("conv_id")))
-        .distinct()
     )
     # no forced broadcast: distinct pair members can reach tens of millions at
     # corpus scale — let AQE pick broadcast vs shuffled semi-join by size
@@ -129,8 +130,7 @@ def jaccard_verify(
     members = (
         pairs.select(F.col("conv_a").alias("conv_id"))
         .unionByName(pairs.select(F.col("conv_b").alias("conv_id")))
-        .distinct()
-    )
+    )  # no .distinct(): the LEFT SEMI below dedups by construction
     # persist: pruned feeds sizes + both join sides; without it the prune +
     # distinct shuffle re-executes three times.  Shingles are reduced to
     # 64-bit xxhash keys first — the distinct + equi-joins then shuffle longs

@@ -118,9 +118,12 @@ def run_pipeline_lean(
     `run_pipeline` is for resumable checkpointed runs."""
     cfg = cfg or DedupConfig()
     docs = track(assemble_documents(transcripts))
-    sigs = minhash_signatures_numpy(docs, cfg)
+    # persist the COMPACT signature table (one row/doc) instead of the
+    # bands×-bigger exploded band table; bands re-derive from the cache with
+    # one JVM explode per consumer (see candidate_pairs persist_bands)
+    sigs = track(minhash_signatures_numpy(docs, cfg))
     bands = lsh_bands(sigs, cfg, band_key="xxhash")  # no per-band string build
-    cands = track(candidate_pairs(bands, cfg))
+    cands = track(candidate_pairs(bands, cfg, persist_bands=False))
     verified = track(jaccard_verify_docs(cands, docs, cfg.shingle_k, threshold=cfg.jaccard_threshold))
     clusters = connected_components(
         verified.select("conv_a", "conv_b"), cfg.max_cc_iterations,
