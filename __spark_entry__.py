@@ -254,15 +254,15 @@ WHERE a.doc_id < b.doc_id
 
 
 def q_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jaccard verify on LSH candidates — integer-exact (inter, union)."""
-    from deduputil_spark.cache import track
+    """Jaccard verify on LSH candidates — integer-exact (inter, union).
 
-    # sh feeds three consumers (sizes + both join sides) and pairs feeds two
-    # (the inter join + the final assembly); persisted (caller releases via
-    # the _scoped wrapper) so the tokenize/distinct and the whole LSH subtree
-    # execute once instead of per consumer
-    sh = track(_doc_shingles(spark, sf_dir))
-    pairs = track(q_lsh_candidates(spark, sf_dir))
+    NOT persisted deliberately: sh's three uses (sizes + both join sides) are
+    identical canonical subtrees, so Catalyst's ReuseExchange already computes
+    the distinct-shingle exchange once — an explicit persist was measured
+    SLOWER (adds a columnar-cache write and bypasses exchange reuse:
+    ~6 s → ~10 s at sf0.1)."""
+    sh = _doc_shingles(spark, sf_dir)
+    pairs = q_lsh_candidates(spark, sf_dir)
     sizes = sh.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("conv_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("conv_id").alias("doc_b"), "shingle")
